@@ -1,0 +1,119 @@
+"""Typed configuration for models, data and training.
+
+Replaces the reference's two-tier config (argparse flags on CLI scripts plus
+hard-coded module-level globals in trains/*.py, e.g. trains/attention_scn.py:25-61)
+with dataclasses.  Every default below reproduces the reference recipe so that
+`TrainConfig()` trains exactly what `python train.py -t attention_scn` trained.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from typing import Optional, Tuple
+
+
+@dataclasses.dataclass(frozen=True)
+class ModelConfig:
+    """Dimensions of the caption models.
+
+    Defaults mirror trains/attention_scn.py:31-36 and utils/loader.py:12-17
+    in the reference (emb/attention/decoder/factor dims all 512, 1000 semantic
+    concepts, dropout 0.5, ResNet feature dim 2048, 14x14 feature map).
+    """
+
+    model_type: str = "attention_scn"  # pure_scn | pure_attention | attention_scn
+    vocab_size: int = 0                # filled in from the wordmap
+    embed_dim: int = 512
+    attention_dim: int = 512
+    decoder_dim: int = 512
+    factored_dim: int = 512
+    semantic_dim: int = 1000
+    encoder_dim: int = 2048
+    enc_image_size: int = 14
+    dropout: float = 0.5
+    max_caption_len: int = 52          # <start> + 50 words + <end>
+    # Compute dtype for the decoder scan / beam search.  Params stay fp32.
+    dtype: str = "float32"
+
+    @property
+    def num_pixels(self) -> int:
+        return self.enc_image_size * self.enc_image_size
+
+    @property
+    def uses_tags(self) -> bool:
+        return self.model_type in ("pure_scn", "attention_scn")
+
+    @property
+    def uses_attention(self) -> bool:
+        return self.model_type in ("pure_attention", "attention_scn")
+
+
+@dataclasses.dataclass(frozen=True)
+class TaggerConfig:
+    """EncoderTagger dims (reference models/encoders/tagger.py:14-30)."""
+
+    semantic_size: int = 1000
+    dropout: float = 0.15
+    feature_dim: int = 2048
+
+
+@dataclasses.dataclass(frozen=True)
+class DataConfig:
+    """Dataset artifact locations (reference trains/attention_scn.py:26-28)."""
+
+    data_folder: str = "./scn_data"
+    data_name: str = "flickr10k_5_cap_per_img_5_min_word_freq"
+    captions_per_image: int = 5
+    image_size: int = 256
+    tag_size: int = 1000
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainConfig:
+    """Training recipe.  Defaults per reference trains/attention_scn.py:42-57
+    (caption models) — the tagger recipe overrides epochs=10, lr=1e-4
+    (trains/tagger.py:35-42)."""
+
+    epochs: int = 12
+    batch_size: int = 32
+    encoder_lr: float = 1e-4
+    decoder_lr: float = 4e-4
+    grad_clip: float = 5.0
+    alpha_c: float = 1.0               # doubly-stochastic attention regulariser
+    lr_decay_factor: float = 0.8       # x0.8 every 8 stale epochs
+    lr_decay_every_stale: int = 8
+    early_stop_stale: int = 20
+    print_freq: int = 100
+    fine_tune_encoder: bool = False
+    seed: int = 0
+    checkpoint_dir: str = "."
+    resume: Optional[str] = None
+    # Parallelism: data-parallel axis size (1 = single chip).  The mesh is
+    # (data, model); model-axis sharding is applied to the vocab projection.
+    mesh_shape: Tuple[int, int] = (1, 1)
+
+
+@dataclasses.dataclass(frozen=True)
+class BeamConfig:
+    """Decode configuration (reference inference.py:66-67, step cap at 50:
+    models/decoders/attention_scn.py:288)."""
+
+    beam_size: int = 5
+    max_steps: int = 51                # reference runs steps 1..51 before the cap
+    length_penalty: float = 0.0        # 0 = reference behaviour (raw sum logprob)
+
+
+def tagger_train_config(**overrides) -> TrainConfig:
+    """The tagger recipe: 10 epochs, Adam 1e-4 (trains/tagger.py:35-42)."""
+    base = dict(epochs=10, decoder_lr=1e-4, encoder_lr=1e-4, alpha_c=0.0)
+    base.update(overrides)
+    return TrainConfig(**base)
+
+
+def to_json(cfg) -> str:
+    return json.dumps(dataclasses.asdict(cfg), indent=2, sort_keys=True)
+
+
+def replace(cfg, **kw):
+    return dataclasses.replace(cfg, **kw)

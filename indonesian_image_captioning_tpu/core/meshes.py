@@ -1,0 +1,64 @@
+"""Device mesh construction and sharding helpers.
+
+The reference is single-device (utils/device.py:10 selects cuda-or-cpu and
+that is the entirety of its distribution story).  Here parallelism is a
+first-class subsystem: a 2-D ``jax.sharding.Mesh`` with axes ``("data",
+"model")``.  Batches shard over ``data`` (DP over ICI), and the large vocab
+projection / 2048-wide matmuls may shard over ``model`` (TP).  XLA inserts the
+psum/all-gather collectives; nothing here issues comms by hand.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence, Tuple
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+DATA_AXIS = "data"
+MODEL_AXIS = "model"
+
+
+def make_mesh(mesh_shape: Optional[Tuple[int, int]] = None,
+              devices: Optional[Sequence[jax.Device]] = None) -> Mesh:
+    """Build a (data, model) mesh.
+
+    mesh_shape=None uses all visible devices on the data axis — the right
+    default for this workload (models are ~30-90M params; DP is the win,
+    TP is optional for the 38k-vocab COCO-ID head).
+    """
+    devices = list(devices if devices is not None else jax.devices())
+    if mesh_shape is None:
+        mesh_shape = (len(devices), 1)
+    d, m = mesh_shape
+    if d * m != len(devices):
+        raise ValueError(
+            f"mesh_shape {mesh_shape} needs {d*m} devices, got {len(devices)}")
+    arr = np.asarray(devices).reshape(d, m)
+    return Mesh(arr, (DATA_AXIS, MODEL_AXIS))
+
+
+def data_sharding(mesh: Mesh, ndim: int) -> NamedSharding:
+    """Shard leading (batch) dim over the data axis, replicate the rest."""
+    spec = P(DATA_AXIS, *([None] * (ndim - 1)))
+    return NamedSharding(mesh, spec)
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(mesh: Mesh, batch):
+    """Device-put a pytree of host arrays with batch-dim sharding."""
+    return jax.tree.map(
+        lambda x: jax.device_put(x, data_sharding(mesh, np.ndim(x))), batch)
+
+
+def local_mesh_for_testing(n: int = 8) -> Mesh:
+    """n-device mesh regardless of platform (for CPU fake-device tests)."""
+    devs = jax.devices()
+    if len(devs) < n:
+        raise RuntimeError(
+            f"need {n} devices; set XLA_FLAGS=--xla_force_host_platform_device_count={n}")
+    return make_mesh((n, 1), devs[:n])

@@ -1,0 +1,63 @@
+"""High-level decode entry points tying decoders to the beam engine.
+
+Mirrors the reference's per-decoder ``sample()`` methods (e.g.
+models/decoders/attention_scn.py:160-296) with one batched, jitted function.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..core.config import BeamConfig, ModelConfig
+from ..models import decoders
+from .beam import beam_search
+
+
+@functools.partial(
+    jax.jit, static_argnames=("cfg", "beam_cfg", "start_id", "end_id",
+                              "record_alphas"))
+def caption_beam_search(params, cfg: ModelConfig, enc, tags, *,
+                        start_id: int, end_id: int,
+                        beam_cfg: BeamConfig = BeamConfig(),
+                        record_alphas: bool = False) -> Dict[str, jax.Array]:
+    """Beam-decode a batch of encoded images.
+
+    enc:  (B, H, W, E) or (B, P, E) encoder output
+    tags: (B, S) tag probabilities (ignored by pure_attention; pass zeros)
+    Returns dict with sequences (B, L), lengths (B,), scores (B,), and
+    (optionally) per-step attention `alpha` (B, L, P).
+    """
+    enc_flat = decoders.flatten_encoding(enc, cfg.encoder_dim)
+    init_state_fn, step_fn = decoders.make_beam_step(params, cfg, enc_flat, tags)
+    emit_specs = {}
+    if record_alphas and cfg.uses_attention:
+        emit_specs["alpha"] = (enc_flat.shape[1],)
+    return beam_search(
+        step_fn,
+        init_state_fn(beam_cfg.beam_size),
+        batch_size=enc_flat.shape[0],
+        beam_size=beam_cfg.beam_size,
+        vocab_size=cfg.vocab_size,
+        start_id=start_id,
+        end_id=end_id,
+        max_steps=beam_cfg.max_steps,
+        seq_len=beam_cfg.max_steps + 1,
+        emit_specs=emit_specs,
+        length_penalty=beam_cfg.length_penalty,
+    )
+
+
+def sequences_to_tokens(sequences, lengths, rev_word_map,
+                        skip_ids=()) -> list[list[str]]:
+    """Host-side detokenisation skipping special ids (inference.py:156-158)."""
+    out = []
+    seqs = jax.device_get(sequences)
+    lens = jax.device_get(lengths)
+    for seq, n in zip(seqs, lens):
+        out.append([rev_word_map[int(w)] for w in seq[:int(n)]
+                    if int(w) not in skip_ids])
+    return out

@@ -1,0 +1,241 @@
+"""Caption decoders: PureSCN, PureAttention, AttentionSCN.
+
+Reference behaviour being reproduced (not ported):
+  * models/decoders/pure_scn.py:13-249       — embed -> SCNCell -> fc
+  * models/decoders/pure_attention.py:13-281 — show-attend-tell (+ f_beta gate)
+  * models/decoders/attention_scn.py:14-296  — attention + SCNCell union
+
+TPU-first redesign of the training forward:
+  * The reference sorts the batch by caption length and shrinks the active
+    batch every timestep (attention_scn.py:117-156) — dynamic shapes that
+    cannot jit.  Here the forward is a fixed-shape ``lax.scan`` over
+    T = max_caption_len - 1 steps with a validity mask; the masked loss in
+    ops/losses.py reproduces pack_padded_sequence's mean-over-valid-tokens
+    normalisation exactly.
+  * Loop invariants are hoisted: the SCN semantic projections and the
+    attention encoder projection are computed once per batch; the word
+    embedding slice of the SCN input path is projected for ALL timesteps in
+    one MXU matmul before the scan (``x @ Wia`` where x is the embedding
+    part of the concatenated input).
+  * All state lives in (batch, feature) arrays; beam search reuses the same
+    step math with a (batch, beam) leading shape.
+
+Parameters are nested dicts whose keys mirror the reference module names
+(embedding / decode_step / init_h / init_c / f_beta / fc / attention) so the
+torch checkpoint converters are direct.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..core.config import ModelConfig
+from . import attention as attn
+from . import lstm_cell, scn_cell
+from .layers import dropout, init_linear, linear, uniform
+
+MODEL_TYPES = ("pure_scn", "pure_attention", "attention_scn")
+# Registry parity with reference utils/loader.py:5-6.
+SCN_BASED_MODELS = frozenset({"pure_scn", "attention_scn"})
+ATT_BASED_MODELS = frozenset({"pure_attention", "attention_scn"})
+
+
+def cell_input_dim(cfg: ModelConfig) -> int:
+    """SCN/LSTM cell input width: embedding alone for pure_scn, embedding
+    concat attention-weighted encoding otherwise (attention_scn.py:45-46)."""
+    return cfg.embed_dim + (cfg.encoder_dim if cfg.uses_attention else 0)
+
+
+def init_decoder(key, cfg: ModelConfig, dtype=jnp.float32):
+    if cfg.model_type not in MODEL_TYPES:
+        raise ValueError(f"unknown model_type {cfg.model_type!r}")
+    if cfg.vocab_size <= 0:
+        raise ValueError("cfg.vocab_size must be set before init")
+    ks = jax.random.split(key, 8)
+    params = {
+        # init_weights parity: embedding U(+-0.1), fc U(+-0.1)/0 bias
+        # (attention_scn.py:58-63).
+        "embedding": uniform(ks[0], (cfg.vocab_size, cfg.embed_dim), 0.1, dtype),
+        "init_h": init_linear(ks[1], cfg.encoder_dim, cfg.decoder_dim, dtype),
+        "init_c": init_linear(ks[2], cfg.encoder_dim, cfg.decoder_dim, dtype),
+        "fc": {
+            "w": uniform(ks[3], (cfg.decoder_dim, cfg.vocab_size), 0.1, dtype),
+            "b": jnp.zeros((cfg.vocab_size,), dtype),
+        },
+    }
+    if cfg.uses_attention:
+        params["attention"] = attn.init_attention(
+            ks[4], cfg.encoder_dim, cfg.decoder_dim, cfg.attention_dim, dtype)
+        params["f_beta"] = init_linear(
+            ks[5], cfg.decoder_dim, cfg.encoder_dim, dtype)
+    if cfg.model_type in SCN_BASED_MODELS:
+        params["decode_step"] = scn_cell.init_scn_cell(
+            ks[6], cell_input_dim(cfg), cfg.decoder_dim, cfg.semantic_dim,
+            cfg.factored_dim, dtype)
+    else:
+        params["decode_step"] = lstm_cell.init_lstm_cell(
+            ks[6], cell_input_dim(cfg), cfg.decoder_dim, dtype)
+    return params
+
+
+def flatten_encoding(enc, encoder_dim: int):
+    """(B, H, W, E) or (B, P, E) -> (B, P, E) (attention_scn.py:113)."""
+    return enc.reshape(enc.shape[0], -1, encoder_dim)
+
+
+def init_hidden_state(params, enc_flat):
+    """Mean image feature -> init_h/init_c linears (attention_scn.py:82-93).
+    enc_flat: (..., P, E) -> (h, c) each (..., D)."""
+    mean = enc_flat.mean(axis=-2)
+    return linear(params["init_h"], mean), linear(params["init_c"], mean)
+
+
+def _split_wx(params, cfg: ModelConfig):
+    """Split the SCN input weight into embedding / awe slabs so the
+    embedding half can be projected for all timesteps outside the loop."""
+    w_x = params["decode_step"]["w_x"]
+    return w_x[: cfg.embed_dim], w_x[cfg.embed_dim:]
+
+
+def _gate_factor(y):
+    """(..., 4F) -> (..., 4, F)."""
+    return y.reshape(*y.shape[:-1], 4, y.shape[-1] // 4)
+
+
+def teacher_forcing(params, cfg: ModelConfig, enc, tags, caps,
+                    caplens, *, dropout_rng: Optional[jax.Array] = None,
+                    train: bool = False):
+    """Teacher-forced forward over the whole caption batch.
+
+    enc:     (B, H, W, E) or (B, P, E) encoder output
+    tags:    (B, S) semantic tag vector (ignored for pure_attention)
+    caps:    (B, L) int token ids, L = cfg.max_caption_len
+    caplens: (B,)   caption lengths including <start>/<end>
+
+    Returns dict with:
+      predictions: (B, T, V) logits, T = L - 1
+      alphas:      (B, T, P) attention weights (attention models) or None
+      mask:        (B, T) float validity mask (t < caplen - 1)
+
+    Equivalent to reference AttentionSCN.forward (attention_scn.py:95-158)
+    with masking replacing the length-sort + shrinking batch; outputs are in
+    the ORIGINAL batch order (no sort_ind to undo).
+    """
+    cell = params["decode_step"]
+    is_scn = cfg.model_type in SCN_BASED_MODELS
+    T = cfg.max_caption_len - 1
+    enc_flat = flatten_encoding(enc, cfg.encoder_dim)
+
+    h, c = init_hidden_state(params, enc_flat)
+    emb = params["embedding"][caps[:, :T]]              # (B, T, Emb)
+
+    # Hoisted loop invariants.
+    if is_scn:
+        sem_x, sem_h = scn_cell.semantic_projections(cell, tags)
+    if cfg.uses_attention:
+        enc_att = attn.precompute(params["attention"], enc_flat)
+        if is_scn:
+            w_x_emb, w_x_awe = _split_wx(params, cfg)
+            emb_fac = _gate_factor(emb @ w_x_emb)       # (B, T, 4, F)
+    else:
+        x_fac_all = scn_cell.input_factor(cell, emb)    # (B, T, 4, F)
+
+    drop = cfg.dropout if train else 0.0
+
+    def step(carry, xs):
+        h, c = carry
+        t, key = xs
+        if cfg.uses_attention:
+            awe, alpha = attn.attend(
+                params["attention"], enc_flat, enc_att, h)
+            gate = jax.nn.sigmoid(linear(params["f_beta"], h))
+            awe = gate * awe                            # (B, E)
+            if is_scn:
+                x_fac = emb_fac[:, t] + _gate_factor(awe @ w_x_awe)
+                h, c = scn_cell.scn_step(cell, x_fac, sem_x, sem_h, h, c)
+            else:
+                x = jnp.concatenate([emb[:, t], awe], axis=-1)
+                h, c = lstm_cell.lstm_step(cell, x, h, c)
+        else:
+            alpha = None
+            h, c = scn_cell.scn_step(cell, x_fac_all[:, t], sem_x, sem_h, h, c)
+        h_drop = dropout(key, h, drop, deterministic=not train)
+        preds = linear(params["fc"], h_drop)            # (B, V)
+        out = (preds, alpha) if alpha is not None else (preds,)
+        return (h, c), out
+
+    if dropout_rng is None:
+        dropout_rng = jax.random.key(0)
+    step_keys = jax.random.split(dropout_rng, T)
+    ts = jnp.arange(T)
+    (_, _), outs = jax.lax.scan(step, (h, c), (ts, step_keys))
+
+    predictions = jnp.swapaxes(outs[0], 0, 1)           # (B, T, V)
+    alphas = jnp.swapaxes(outs[1], 0, 1) if cfg.uses_attention else None
+
+    # decode_lengths = caplens - 1 (attention_scn.py:131); mask[t] = t < len-1
+    mask = (ts[None, :] < (caplens[:, None] - 1)).astype(predictions.dtype)
+    return {"predictions": predictions, "alphas": alphas, "mask": mask}
+
+
+def make_beam_step(params, cfg: ModelConfig, enc, tags):
+    """Build (init_state, step_fn) for the generic beam engine.
+
+    enc:  (B, H, W, E) or (B, P, E);  tags: (B, S).
+    State arrays carry a (B, K, ...) leading shape.  step_fn(state, prev)
+    returns (logprobs (B, K, V), new_state, emit-dict).
+    """
+    cell = params["decode_step"]
+    is_scn = cfg.model_type in SCN_BASED_MODELS
+    enc_flat = flatten_encoding(enc, cfg.encoder_dim)   # (B, P, E)
+    B = enc_flat.shape[0]
+
+    # Loop invariants, broadcast over the beam axis lazily ((B, 1, ...)).
+    inv = {}
+    if is_scn:
+        sx, sh = scn_cell.semantic_projections(cell, tags)
+        inv["sem_x"], inv["sem_h"] = sx[:, None], sh[:, None]
+    if cfg.uses_attention:
+        inv["enc"] = enc_flat[:, None]                  # (B, 1, P, E)
+        inv["enc_att"] = attn.precompute(
+            params["attention"], enc_flat)[:, None]     # (B, 1, P, A)
+        if is_scn:
+            inv["w_x_emb"], inv["w_x_awe"] = _split_wx(params, cfg)
+
+    h0, c0 = init_hidden_state(params, enc_flat)        # (B, D)
+
+    def init_state(beam_size: int):
+        tile = lambda x: jnp.broadcast_to(
+            x[:, None], (B, beam_size) + x.shape[1:])
+        return {"h": tile(h0), "c": tile(c0)}
+
+    def step_fn(state, prev_words):
+        h, c = state["h"], state["c"]                   # (B, K, D)
+        emb = params["embedding"][prev_words]           # (B, K, Emb)
+        emit = {}
+        if cfg.uses_attention:
+            awe, alpha = attn.attend(
+                params["attention"], inv["enc"], inv["enc_att"], h)
+            gate = jax.nn.sigmoid(linear(params["f_beta"], h))
+            awe = gate * awe
+            emit["alpha"] = alpha                       # (B, K, P)
+            if is_scn:
+                x_fac = (_gate_factor(emb @ inv["w_x_emb"])
+                         + _gate_factor(awe @ inv["w_x_awe"]))
+                h, c = scn_cell.scn_step(
+                    cell, x_fac, inv["sem_x"], inv["sem_h"], h, c)
+            else:
+                x = jnp.concatenate([emb, awe], axis=-1)
+                h, c = lstm_cell.lstm_step(cell, x, h, c)
+        else:
+            x_fac = scn_cell.input_factor(cell, emb)
+            h, c = scn_cell.scn_step(
+                cell, x_fac, inv["sem_x"], inv["sem_h"], h, c)
+        logits = linear(params["fc"], h)                # (B, K, V)
+        logprobs = jax.nn.log_softmax(logits, axis=-1)
+        return logprobs, {"h": h, "c": c}, emit
+
+    return init_state, step_fn

@@ -1,0 +1,71 @@
+"""Masked losses for fixed-shape caption training.
+
+Reproduces the reference loss semantics exactly, without dynamic shapes:
+  * CE over packed valid tokens with mean reduction
+    (pack_padded_sequence + nn.CrossEntropyLoss, trains/attention_scn.py:219-232)
+    == sum(ce * mask) / sum(mask).
+  * Doubly-stochastic attention regulariser
+    alpha_c * mean((1 - sum_t alpha_t)^2) over (batch, pixels)
+    (trains/attention_scn.py:235); padded steps contribute zero alpha in the
+    reference because its alphas tensor is only written for active rows, so
+    the masked sum here is identical.
+  * BCE for the tagger (trains/tagger.py BCELoss on sigmoid scores).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def masked_cross_entropy(logits, targets, mask):
+    """Mean CE over valid tokens.
+
+    logits: (B, T, V); targets: (B, T) int; mask: (B, T) in {0, 1}.
+    """
+    logp = jax.nn.log_softmax(logits, axis=-1)
+    nll = -jnp.take_along_axis(logp, targets[..., None], axis=-1)[..., 0]
+    denom = jnp.maximum(mask.sum(), 1.0)
+    return (nll * mask).sum() / denom
+
+
+def doubly_stochastic_penalty(alphas, mask, alpha_c: float):
+    """alpha_c * mean((1 - sum_t alpha)^2); alphas (B, T, P), mask (B, T)."""
+    if alphas is None or alpha_c == 0.0:
+        return jnp.asarray(0.0, jnp.float32)
+    total = (alphas * mask[..., None]).sum(axis=1)        # (B, P)
+    return alpha_c * jnp.mean((1.0 - total) ** 2)
+
+
+def caption_loss(outputs, caps, alpha_c: float = 0.0):
+    """Full caption training loss from a teacher_forcing() output dict.
+
+    Targets are caps shifted by one (<start> dropped, attention_scn.py:219).
+    Returns (loss, aux) with aux = dict(ce, alpha_penalty, n_tokens).
+    """
+    logits = outputs["predictions"]
+    mask = outputs["mask"]
+    targets = caps[:, 1:1 + logits.shape[1]]
+    ce = masked_cross_entropy(logits, targets, mask)
+    pen = doubly_stochastic_penalty(outputs["alphas"], mask, alpha_c)
+    return ce + pen, {
+        "ce": ce,
+        "alpha_penalty": pen,
+        "n_tokens": mask.sum(),
+    }
+
+
+def bce_loss(probs, targets, eps: float = 1e-7):
+    """Binary cross-entropy on probabilities (tagger outputs sigmoid scores,
+    reference trains/tagger.py uses nn.BCELoss with mean reduction)."""
+    p = jnp.clip(probs, eps, 1.0 - eps)
+    return -jnp.mean(targets * jnp.log(p) + (1.0 - targets) * jnp.log1p(-p))
+
+
+def masked_topk_accuracy(logits, targets, mask, k: int = 5):
+    """Top-k accuracy (%) over valid tokens, matching the reference's
+    accuracy() over packed scores (trains/attention_scn.py:255)."""
+    _, ind = jax.lax.top_k(logits, k)                     # (B, T, k)
+    correct = (ind == targets[..., None]).any(axis=-1)
+    denom = jnp.maximum(mask.sum(), 1.0)
+    return (correct * mask).sum() / denom * 100.0
