@@ -1,0 +1,85 @@
+"""Checkpointing: one canonical pytree format + best-copy semantics.
+
+The reference keeps two incompatible formats (SURVEY.md §5): pickled whole
+modules for training resume (utils/checkpoint.py:4-31) and state_dicts for
+serving.  Here there is ONE canonical format — an orbax directory checkpoint
+of a plain pytree:
+
+    {"params": ..., "opt_state": ..., "epoch": int,
+     "epochs_since_improvement": int, "metric": float, "extra": {...}}
+
+Naming parity with the reference file scheme (checkpoint.py:28-31):
+``checkpoint_{model}_{data}`` and a ``BEST_checkpoint_{model}_{data}`` copy
+when the validation metric improves.  Torch serve-format import/export lives
+in models/convert.py.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+from typing import Any, Dict, Optional
+
+import jax
+import numpy as np
+
+try:
+    import orbax.checkpoint as ocp
+    _HAVE_ORBAX = True
+except Exception:  # pragma: no cover
+    _HAVE_ORBAX = False
+
+
+def _ckpt_name(model_name: str, data_name: str) -> str:
+    return f"checkpoint_{model_name}_{data_name}"
+
+
+def save_checkpoint(directory: str, model_name: str, data_name: str,
+                    state: Dict[str, Any], is_best: bool) -> str:
+    """Save ``state`` under the reference naming scheme; copy to BEST_* on
+    improvement (utils/checkpoint.py:4-31 semantics)."""
+    name = _ckpt_name(model_name, data_name)
+    path = os.path.abspath(os.path.join(directory, name))
+    save_pytree(path, state)
+    if is_best:
+        best = os.path.abspath(os.path.join(directory, "BEST_" + name))
+        if os.path.exists(best):
+            shutil.rmtree(best)
+        shutil.copytree(path, best)
+        return best
+    return path
+
+
+def load_checkpoint(directory: str, model_name: str, data_name: str,
+                    best: bool = False,
+                    template: Optional[Dict[str, Any]] = None):
+    name = _ckpt_name(model_name, data_name)
+    if best:
+        name = "BEST_" + name
+    return load_pytree(os.path.abspath(os.path.join(directory, name)),
+                       template)
+
+
+def save_pytree(path: str, tree) -> None:
+    tree = jax.tree.map(np.asarray, jax.device_get(tree))
+    if os.path.exists(path):
+        shutil.rmtree(path)
+    if _HAVE_ORBAX:
+        ocp.PyTreeCheckpointer().save(path, tree)
+    else:  # pragma: no cover - orbax is in the image
+        os.makedirs(path, exist_ok=True)
+        np.save(os.path.join(path, "tree.npy"),
+                np.asarray([tree], dtype=object), allow_pickle=True)
+
+
+def load_pytree(path: str, template=None):
+    if _HAVE_ORBAX:
+        if template is not None:
+            # restore with the template's tree structure (tuples/NamedTuples
+            # such as optax states do not round-trip without a target)
+            item = jax.tree.map(np.asarray, jax.device_get(template))
+            return ocp.PyTreeCheckpointer().restore(path, item=item)
+        return ocp.PyTreeCheckpointer().restore(path)
+    restored = np.load(os.path.join(path, "tree.npy"),  # pragma: no cover
+                       allow_pickle=True)[0]
+    return restored

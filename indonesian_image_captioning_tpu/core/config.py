@@ -35,6 +35,9 @@ class ModelConfig:
     max_caption_len: int = 52          # <start> + 50 words + <end>
     # Compute dtype for the decoder scan / beam search.  Params stay fp32.
     dtype: str = "float32"
+    # ResNet variant backing the caption/tagger encoders (resnet152 parity
+    # default; smaller variants for tests/smoke runs).
+    encoder_arch: str = "resnet152"
 
     @property
     def num_pixels(self) -> int:
@@ -56,6 +59,7 @@ class TaggerConfig:
     semantic_size: int = 1000
     dropout: float = 0.15
     feature_dim: int = 2048
+    encoder_arch: str = "resnet152"
 
 
 @dataclasses.dataclass(frozen=True)

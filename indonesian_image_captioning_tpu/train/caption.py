@@ -1,0 +1,179 @@
+"""Caption model trainers: pure_scn / pure_attention / attention_scn.
+
+Recipe parity (trains/attention_scn.py:25-61 and twins): 12 epochs, batch
+32, Adam 4e-4 on the decoder, frozen ResNet encoder, frozen tagger supplying
+the 1000-d semantic vector (SCN models), masked CE + alpha_c doubly
+stochastic regularisation (attention models), grad clamp +-5, LR x0.8 per 8
+stale epochs, early stop at 20 stale, BLEU-4-gated best checkpoint computed
+from teacher-forced argmax hypotheses (trains/attention_scn.py:366-377).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Dict, Optional
+
+import numpy as np
+
+from ..core import checkpoint as ckpt_lib
+from ..core.config import DataConfig, ModelConfig, TrainConfig
+from ..core.prng import per_step, root_key, stream
+from ..core.tokens import PAD_ID, START_TOKEN
+from ..data import loader as loader_lib
+from ..data import vocab as vocab_lib
+from ..data.datasets import CaptionDataset
+from ..models import decoders, encoders
+from . import steps
+from .loop import EpochPrinter, fit
+
+
+def load_word_map(data_cfg: DataConfig) -> Dict[str, int]:
+    return vocab_lib.load_json(vocab_lib.wordmap_path(
+        data_cfg.data_folder, data_cfg.data_name))
+
+
+def init_state(key, cfg: ModelConfig, optimizer, *,
+               tagger_checkpoint: Optional[str] = None,
+               encoder_init: Optional[str] = None,
+               data_name: str = ""):
+    """Build the full (decoder + frozen encoder/tagger) train state."""
+    import jax
+    k_dec, k_enc, k_tag = jax.random.split(key, 3)
+    params = decoders.init_decoder(k_dec, cfg)
+    enc_params, enc_stats = encoders.init_encoder_caption(
+        k_enc, arch=cfg.encoder_arch)
+    if encoder_init:
+        import torch
+        from ..models import convert
+        sd = torch.load(encoder_init, map_location="cpu")
+        enc_params, enc_stats = convert.encoder_caption_from_torch(
+            sd.get("encoder_model_state_dict", sd), arch=cfg.encoder_arch)
+    from ..core.config import TaggerConfig
+    tag_params, tag_stats = encoders.init_encoder_tagger(
+        k_tag, TaggerConfig(semantic_size=cfg.semantic_dim,
+                            feature_dim=cfg.encoder_dim,
+                            encoder_arch=cfg.encoder_arch),
+        arch=cfg.encoder_arch)
+    if tagger_checkpoint:
+        restored = ckpt_lib.load_pytree(tagger_checkpoint)
+        tag_params = restored["state"]["params"]
+        tag_stats = restored["state"]["stats"]
+    return {
+        "params": params,
+        "opt_state": optimizer.init(params),
+        "encoder": enc_params, "encoder_stats": enc_stats,
+        "tagger": tag_params, "tagger_stats": tag_stats,
+    }
+
+
+def bleu4_from_batches(references, hypotheses) -> float:
+    """Corpus BLEU-4 exactly as the reference validate() computes it
+    (nltk corpus_bleu with default weights, trains/attention_scn.py:377)."""
+    from nltk.translate.bleu_score import corpus_bleu
+    return float(corpus_bleu(references, hypotheses))
+
+
+def main(model_type: str,
+         data_cfg: DataConfig = DataConfig(),
+         tcfg: TrainConfig = TrainConfig(),
+         model_cfg: Optional[ModelConfig] = None,
+         tagger_checkpoint: Optional[str] = None,
+         encoder_init: Optional[str] = None,
+         resume: bool = False,
+         log=print):
+    word_map = load_word_map(data_cfg)
+    cfg = model_cfg or ModelConfig(model_type=model_type,
+                                   vocab_size=len(word_map))
+    if cfg.vocab_size != len(word_map):
+        raise ValueError("model_cfg.vocab_size != wordmap size")
+    start_id = word_map[START_TOKEN]
+
+    train_ds = CaptionDataset(data_cfg.data_folder, data_cfg.data_name, "TRAIN")
+    val_ds = CaptionDataset(data_cfg.data_folder, data_cfg.data_name, "VAL")
+
+    optimizer = steps.make_optimizer(tcfg.decoder_lr, tcfg.grad_clip)
+    key = root_key(tcfg.seed)
+    state = init_state(stream(key, f"{model_type}_init"), cfg, optimizer,
+                       tagger_checkpoint=tagger_checkpoint,
+                       encoder_init=encoder_init,
+                       data_name=data_cfg.data_name)
+    start_epoch, stale, best = 0, 0, 0.0
+    if resume:
+        restored = ckpt_lib.load_checkpoint(
+            tcfg.checkpoint_dir, model_type, data_cfg.data_name,
+            template={"state": state, "epoch": 0,
+                      "epochs_since_improvement": 0, "metric": 0.0})
+        state = restored["state"]
+        start_epoch = int(restored["epoch"]) + 1
+        stale = int(restored["epochs_since_improvement"])
+        best = float(restored["metric"])
+
+    train_step = steps.make_caption_train_step(cfg, tcfg, optimizer)
+    eval_step = steps.make_caption_eval_step(cfg, tcfg)
+    drop_key = stream(key, "caption_dropout")
+    n_train = loader_lib.num_batches(len(train_ds), tcfg.batch_size)
+    n_val = loader_lib.num_batches(len(val_ds), tcfg.batch_size)
+    state_box = {"state": state}
+
+    def train_epoch(epoch: int):
+        printer = EpochPrinter("Epoch", epoch, n_train, tcfg.print_freq, log)
+        it = loader_lib.prefetch_to_device(loader_lib.iterate(
+            train_ds, tcfg.batch_size, shuffle=True, seed=tcfg.seed,
+            epoch=epoch))
+        for i, batch in enumerate(it):
+            printer.data_loaded()
+            rng = per_step(drop_key, epoch * n_train + i)
+            state_box["state"], m = train_step(state_box["state"], batch, rng)
+            n_tok = int(m["n_tokens"])
+            printer.update(i, weights={"Loss": n_tok, "Top5": n_tok},
+                           Loss=float(m["loss"]), Top5=float(m["top5"]))
+        return {"loss": printer.avg("Loss")}
+
+    def validate(epoch: int) -> float:
+        printer = EpochPrinter("Validation", epoch, n_val, tcfg.print_freq, log)
+        references, hypotheses = [], []
+        it = loader_lib.prefetch_to_device(loader_lib.iterate(
+            val_ds, tcfg.batch_size))
+        for i, batch in enumerate(it):
+            printer.data_loaded()
+            m = eval_step(state_box["state"], batch)
+            n_tok = int(m["n_tokens"])
+            printer.update(i, weights={"Loss": n_tok, "Top5": n_tok},
+                           Loss=float(m["loss"]), Top5=float(m["top5"]))
+            preds = np.asarray(m["preds"])
+            caplens = np.asarray(batch["caplens"])
+            allcaps = np.asarray(batch["allcaps"])
+            valid = np.asarray(batch["valid"]) > 0
+            for b in range(preds.shape[0]):
+                if not valid[b]:
+                    continue
+                # references: all captions minus <start>/<pad>
+                # (trains/attention_scn.py:357-363)
+                refs = [[w for w in cap.tolist()
+                         if w not in (start_id, PAD_ID)]
+                        for cap in allcaps[b]]
+                references.append(refs)
+                hypotheses.append(preds[b][:max(int(caplens[b]) - 1, 0)]
+                                  .tolist())
+        bleu4 = bleu4_from_batches(references, hypotheses)
+        log(f"\n * LOSS - {printer.avg('Loss'):.3f}, TOP-5 ACCURACY - "
+            f"{printer.avg('Top5'):.3f}, BLEU-4 - {bleu4}\n")
+        return bleu4
+
+    def decay(factor: float):
+        state_box["state"]["opt_state"] = steps.decay_learning_rate(
+            state_box["state"]["opt_state"], factor)
+        log(f"DECAYING learning rate; new LR "
+            f"{steps.current_learning_rate(state_box['state']['opt_state']):.6f}")
+
+    def save(epoch: int, stale_now: int, metric: float, is_best: bool):
+        ckpt_lib.save_checkpoint(
+            tcfg.checkpoint_dir, model_type, data_cfg.data_name,
+            {"state": state_box["state"], "epoch": epoch,
+             "epochs_since_improvement": stale_now, "metric": metric},
+            is_best)
+
+    summary = fit(tcfg, train_epoch=train_epoch, validate=validate,
+                  decay_lr=decay, save=save, start_epoch=start_epoch,
+                  epochs_since_improvement=stale, best_metric=best, log=log)
+    return state_box["state"], summary

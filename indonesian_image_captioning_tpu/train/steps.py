@@ -1,0 +1,214 @@
+"""Jitted train/eval steps for the tagger and the three caption models.
+
+Reference semantics (trains/attention_scn.py:178-271, trains/tagger.py):
+per-batch forward -> loss -> elementwise grad clamp +-5 -> Adam.  Here each
+whole step (normalize -> encoders -> masked scan decoder -> loss -> clipped
+Adam update) is ONE jitted XLA program; images arrive as uint8 NHW C-order
+bytes and are normalised on device.
+
+Parallelism: steps are built against an optional mesh.  With a mesh, the
+batch is sharded over the "data" axis and parameters are replicated (or
+model-sharded for the vocab head, see parallel/sharding.py); XLA inserts the
+gradient psum — there is no hand-written collective here.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..core.config import ModelConfig, TrainConfig
+from ..models import decoders, encoders
+from ..ops import losses
+
+Pytree = Any
+
+
+def make_optimizer(lr: float, grad_clip: float) -> optax.GradientTransformation:
+    """Elementwise grad clamp (reference utils/optimizer.py:1-11 clamps the
+    gradient values, not the norm) followed by Adam; the LR is injected so
+    the x0.8 stale-epoch decay can update it in-place."""
+    tx = [] if grad_clip is None else [_clamp(grad_clip)]
+    tx.append(optax.inject_hyperparams(optax.adam)(learning_rate=lr))
+    return optax.chain(*tx)
+
+
+def _clamp(limit: float) -> optax.GradientTransformation:
+    def update(updates, state, params=None):
+        return jax.tree.map(lambda g: jnp.clip(g, -limit, limit), updates), state
+    return optax.GradientTransformation(lambda _: optax.EmptyState(), update)
+
+
+def decay_learning_rate(opt_state, factor: float):
+    """Multiply the injected Adam LR by ``factor`` (utils/optimizer.py:14-24).
+    The optimizer state is the chain tuple (clamp state, inject state)."""
+    return tuple(
+        s._replace(hyperparams={**s.hyperparams,
+                                "learning_rate": s.hyperparams["learning_rate"] * factor})
+        if isinstance(s, optax.InjectHyperparamsState) else s
+        for s in opt_state)
+
+
+def current_learning_rate(opt_state) -> float:
+    for s in opt_state:
+        if isinstance(s, optax.InjectHyperparamsState):
+            return float(s.hyperparams["learning_rate"])
+    return float("nan")
+
+
+def prep_images(images_u8_chw):
+    """uint8 (B, 3, S, S) artifact layout -> normalized NHWC float."""
+    x = jnp.transpose(images_u8_chw, (0, 2, 3, 1))
+    return encoders.normalize_images(x)
+
+
+# ---------------------------------------------------------------------------
+# Caption models
+# ---------------------------------------------------------------------------
+
+def make_caption_train_step(cfg: ModelConfig, tcfg: TrainConfig,
+                            optimizer: optax.GradientTransformation,
+                            donate: bool = True):
+    """Returns jitted step(state, batch, rng) -> (state, metrics).
+
+    state = {"params", "opt_state", "encoder", "encoder_stats",
+             "tagger", "tagger_stats"} — encoder/tagger frozen
+    (fine_tune_encoder=False default, trains/attention_scn.py:56; the tagger
+    is always frozen during caption training, :81).
+    The frozen tagger runs in eval mode (deterministic) — deliberately NOT
+    replicating the reference's dropout-at-train-time bug (SURVEY.md §5).
+    """
+
+    def step(state, batch, rng):
+        images = prep_images(batch["images"])
+        enc_out, _ = encoders.apply_encoder_caption(
+            state["encoder"], state["encoder_stats"], images, train=False,
+            enc_image_size=cfg.enc_image_size, arch=cfg.encoder_arch)
+        enc_out = jax.lax.stop_gradient(enc_out)
+        if cfg.uses_tags:
+            tags, _ = encoders.apply_encoder_tagger(
+                state["tagger"], state["tagger_stats"], images, train=False,
+                arch=cfg.encoder_arch)
+            tags = jax.lax.stop_gradient(tags)
+        else:
+            tags = jnp.zeros((images.shape[0], cfg.semantic_dim), images.dtype)
+
+        def loss_fn(params):
+            out = decoders.teacher_forcing(
+                params, cfg, enc_out, tags, batch["captions"],
+                batch["caplens"], dropout_rng=rng, train=True)
+            loss, aux = losses.caption_loss(out, batch["captions"],
+                                            tcfg.alpha_c)
+            top5 = losses.masked_topk_accuracy(
+                out["predictions"], batch["captions"][:, 1:], out["mask"], 5)
+            return loss, {**aux, "top5": top5}
+
+        (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state["params"])
+        updates, opt_state = optimizer.update(grads, state["opt_state"],
+                                              state["params"])
+        params = optax.apply_updates(state["params"], updates)
+        metrics = {"loss": loss, "top5": aux["top5"],
+                   "n_tokens": aux["n_tokens"], "ce": aux["ce"],
+                   "alpha_penalty": aux["alpha_penalty"]}
+        return {**state, "params": params, "opt_state": opt_state}, metrics
+
+    return jax.jit(step, donate_argnums=(0,) if donate else ())
+
+
+def make_caption_eval_step(cfg: ModelConfig, tcfg: TrainConfig):
+    """Jitted validation step -> metrics + teacher-forced argmax preds
+    (the reference's validate() scores argmax-of-scores hypotheses against
+    references with corpus BLEU, trains/attention_scn.py:366-377)."""
+
+    def step(state, batch):
+        images = prep_images(batch["images"])
+        enc_out, _ = encoders.apply_encoder_caption(
+            state["encoder"], state["encoder_stats"], images, train=False,
+            enc_image_size=cfg.enc_image_size, arch=cfg.encoder_arch)
+        if cfg.uses_tags:
+            tags, _ = encoders.apply_encoder_tagger(
+                state["tagger"], state["tagger_stats"], images, train=False,
+                arch=cfg.encoder_arch)
+        else:
+            tags = jnp.zeros((images.shape[0], cfg.semantic_dim), images.dtype)
+        out = decoders.teacher_forcing(
+            state["params"], cfg, enc_out, tags, batch["captions"],
+            batch["caplens"], train=False)
+        loss, aux = losses.caption_loss(out, batch["captions"], tcfg.alpha_c)
+        top5 = losses.masked_topk_accuracy(
+            out["predictions"], batch["captions"][:, 1:], out["mask"], 5)
+        preds = jnp.argmax(out["predictions"], axis=-1)      # (B, T)
+        return {"loss": loss, "top5": top5, "n_tokens": aux["n_tokens"],
+                "preds": preds, "mask": out["mask"]}
+
+    return jax.jit(step)
+
+
+# ---------------------------------------------------------------------------
+# Tagger
+# ---------------------------------------------------------------------------
+
+def tagger_trainable_mask(params) -> Pytree:
+    """True for trainable leaves: the linear head + resnet layer2..layer4
+    (reference fine_tune: children()[5:], encoders/tagger.py:49-60)."""
+    def mask_resnet(tree):
+        return {k: jax.tree.map(lambda _: k in ("layer2", "layer3", "layer4"),
+                                v) for k, v in tree.items()}
+    return {"resnet": mask_resnet(params["resnet"]),
+            "linear": jax.tree.map(lambda _: True, params["linear"])}
+
+
+def make_tagger_train_step(tcfg: TrainConfig,
+                           optimizer: optax.GradientTransformation,
+                           dropout_rate: float = 0.15,
+                           arch: str = "resnet152",
+                           donate: bool = True):
+    """state = {"params", "stats", "opt_state"}; BCE on sigmoid scores with
+    binary accuracy (trains/tagger.py:132-192).  BatchNorm runs in train
+    mode with running-stat updates, like the reference's encoder.train()."""
+
+    def step(state, batch, rng):
+        images = prep_images(batch["images"])
+
+        def loss_fn(params):
+            probs, new_stats = encoders.apply_encoder_tagger(
+                params, state["stats"], images, train=True, dropout_rng=rng,
+                dropout_rate=dropout_rate, arch=arch)
+            loss = losses.bce_loss(probs, batch["tags"])
+            acc = _binary_accuracy(probs, batch["tags"])
+            return loss, (acc, new_stats)
+
+        (loss, (acc, new_stats)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state["params"])
+        mask = tagger_trainable_mask(state["params"])
+        grads = jax.tree.map(lambda g, m: g if m else jnp.zeros_like(g),
+                             grads, mask)
+        updates, opt_state = optimizer.update(grads, state["opt_state"],
+                                              state["params"])
+        params = optax.apply_updates(state["params"], updates)
+        return ({"params": params, "stats": new_stats,
+                 "opt_state": opt_state},
+                {"loss": loss, "acc": acc})
+
+    return jax.jit(step, donate_argnums=(0,) if donate else ())
+
+
+def make_tagger_eval_step(arch: str = "resnet152"):
+    def step(params, stats, batch):
+        images = prep_images(batch["images"])
+        probs, _ = encoders.apply_encoder_tagger(params, stats, images,
+                                                 train=False, arch=arch)
+        return {"loss": losses.bce_loss(probs, batch["tags"]),
+                "acc": _binary_accuracy(probs, batch["tags"])}
+    return jax.jit(step)
+
+
+def _binary_accuracy(probs, targets):
+    pred = probs >= 0.5
+    true = targets >= 0.5
+    return jnp.mean((pred == true).astype(jnp.float32)) * 100.0

@@ -1,0 +1,121 @@
+"""Image-tagger trainer (reference trains/tagger.py).
+
+Recipe: 10 epochs, batch 32, Adam 1e-4, dropout 0.15, BCE on sigmoid
+scores, binary-accuracy-gated best checkpoint, grad clamp +-5, LR x0.8
+every 8 stale epochs, early stop at 20 stale (trains/tagger.py:35-43,
+111-129).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional
+
+import jax
+import numpy as np
+
+from ..core import checkpoint as ckpt_lib
+from ..core.config import DataConfig, TaggerConfig, TrainConfig
+from ..core.prng import per_step, root_key, stream
+from ..data import loader as loader_lib
+from ..data.datasets import TagDataset
+from ..models import encoders
+from . import steps
+from .loop import EpochPrinter, fit
+
+MODEL_NAME = "tagger"
+
+
+def init_state(key, tcfg: TrainConfig, tagger_cfg: TaggerConfig,
+               optimizer, encoder_init: Optional[str] = None):
+    params, stats = encoders.init_encoder_tagger(
+        key, tagger_cfg, arch=tagger_cfg.encoder_arch)
+    if encoder_init:
+        import torch
+        sd = torch.load(encoder_init, map_location="cpu")
+        from ..models import convert
+        params_r, stats_r = convert.encoder_tagger_from_torch(
+            sd.get("model_state_dict", sd))
+        params, stats = params_r, stats_r
+    return {"params": params, "stats": stats,
+            "opt_state": optimizer.init(params)}
+
+
+def main(data_cfg: DataConfig = DataConfig(),
+         tcfg: Optional[TrainConfig] = None,
+         tagger_cfg: TaggerConfig = TaggerConfig(),
+         encoder_init: Optional[str] = None,
+         resume: bool = False,
+         log=print):
+    from ..core.config import tagger_train_config
+    tcfg = tcfg or tagger_train_config()
+
+    train_ds = TagDataset(data_cfg.data_folder, data_cfg.data_name, "TRAIN")
+    val_ds = TagDataset(data_cfg.data_folder, data_cfg.data_name, "VAL")
+
+    optimizer = steps.make_optimizer(tcfg.decoder_lr, tcfg.grad_clip)
+    key = root_key(tcfg.seed)
+    state = init_state(stream(key, "tagger_init"), tcfg, tagger_cfg,
+                       optimizer, encoder_init)
+    start_epoch, stale, best = 0, 0, 0.0
+    if resume:
+        restored = ckpt_lib.load_checkpoint(
+            tcfg.checkpoint_dir, MODEL_NAME, data_cfg.data_name,
+            template={"state": state, "epoch": 0,
+                      "epochs_since_improvement": 0, "metric": 0.0})
+        state = restored["state"]
+        start_epoch = int(restored["epoch"]) + 1
+        stale = int(restored["epochs_since_improvement"])
+        best = float(restored["metric"])
+
+    train_step = steps.make_tagger_train_step(
+        tcfg, optimizer, tagger_cfg.dropout, arch=tagger_cfg.encoder_arch)
+    eval_step = steps.make_tagger_eval_step(arch=tagger_cfg.encoder_arch)
+    drop_key = stream(key, "tagger_dropout")
+    n_train = loader_lib.num_batches(len(train_ds), tcfg.batch_size)
+    n_val = loader_lib.num_batches(len(val_ds), tcfg.batch_size)
+
+    state_box = {"state": state}
+
+    def train_epoch(epoch: int):
+        printer = EpochPrinter("Epoch", epoch, n_train, tcfg.print_freq, log)
+        it = loader_lib.prefetch_to_device(loader_lib.iterate(
+            train_ds, tcfg.batch_size, shuffle=True, seed=tcfg.seed,
+            epoch=epoch))
+        for i, batch in enumerate(it):
+            printer.data_loaded()
+            rng = per_step(drop_key, epoch * n_train + i)
+            state_box["state"], m = train_step(state_box["state"], batch, rng)
+            printer.update(i, Loss=float(m["loss"]), Accuracy=float(m["acc"]))
+        return {"loss": printer.avg("Loss")}
+
+    def validate(epoch: int) -> float:
+        printer = EpochPrinter("Validation", epoch, n_val, tcfg.print_freq, log)
+        it = loader_lib.prefetch_to_device(loader_lib.iterate(
+            val_ds, tcfg.batch_size))
+        for i, batch in enumerate(it):
+            printer.data_loaded()
+            m = eval_step(state_box["state"]["params"],
+                          state_box["state"]["stats"], batch)
+            printer.update(i, Loss=float(m["loss"]), Accuracy=float(m["acc"]))
+        acc = printer.avg("Accuracy")
+        log(f"\n * ACCURACY - {acc:.3f}\n")
+        return acc
+
+    def decay(factor: float):
+        state_box["state"]["opt_state"] = steps.decay_learning_rate(
+            state_box["state"]["opt_state"], factor)
+        log(f"DECAYING learning rate; new LR "
+            f"{steps.current_learning_rate(state_box['state']['opt_state']):.6f}")
+
+    def save(epoch: int, stale_now: int, metric: float, is_best: bool):
+        ckpt_lib.save_checkpoint(
+            tcfg.checkpoint_dir, MODEL_NAME, data_cfg.data_name,
+            {"state": state_box["state"], "epoch": epoch,
+             "epochs_since_improvement": stale_now, "metric": metric},
+            is_best)
+
+    summary = fit(tcfg, train_epoch=train_epoch, validate=validate,
+                  decay_lr=decay, save=save, start_epoch=start_epoch,
+                  epochs_since_improvement=stale, best_metric=best, log=log)
+    return state_box["state"], summary

@@ -1,0 +1,129 @@
+"""End-to-end smoke training on synthetic data (SURVEY.md §4c).
+
+Tiny corpus -> preprocess -> trainer main() for the tagger and a caption
+model; asserts the loss moves, checkpoints land on disk with reference
+naming, and resume restores state.
+"""
+
+import json
+import os
+
+import numpy as np
+import pytest
+from PIL import Image
+
+import indonesian_image_captioning_tpu.core.config as config
+from indonesian_image_captioning_tpu.core.config import (
+    DataConfig, ModelConfig, TaggerConfig, TrainConfig, tagger_train_config)
+from indonesian_image_captioning_tpu.data import preprocess
+
+
+@pytest.fixture(scope="module")
+def data_env(tmp_path_factory):
+    root = tmp_path_factory.mktemp("corpus")
+    img_dir = root / "imgs"
+    img_dir.mkdir()
+    out = tmp_path_factory.mktemp("scn_data")
+    rng = np.random.default_rng(0)
+    words = ["anjing", "kucing", "bermain", "di", "taman", "bola", "anak"]
+
+    filenames, captions, tags = [], [], []
+    for i in range(8):
+        name = f"{i:04d}.jpg"
+        Image.fromarray(rng.integers(0, 256, (40, 40, 3), dtype=np.uint8)
+                        ).save(img_dir / name)
+        filenames.append(name)
+        captions.append([" ".join(rng.choice(words, 4).tolist())
+                         for _ in range(2)])
+        tags.append([rng.choice(["anjing", "kucing"])])
+    (root / "filenames.json").write_text(json.dumps(filenames))
+    (root / "captions.json").write_text(json.dumps(captions))
+    (root / "tags.json").write_text(json.dumps(tags))
+    (root / "train.txt").write_text("\n".join(f"{i:04d}" for i in range(6)))
+    (root / "val.txt").write_text("\n".join(f"{i:04d}" for i in range(6, 8)))
+    (root / "test.txt").write_text("")
+    (root / "all_tags.txt").write_text("anjing\nkucing")
+
+    preprocess.create_input_files(
+        "flickr10k", str(root), str(img_dir), captions_per_image=2,
+        min_word_freq=0, output_folder=str(out), tag_size=2, max_len=10,
+        image_size=32)
+    return DataConfig(data_folder=str(out),
+                      data_name="flickr10k_2_cap_per_img_0_min_word_freq",
+                      captions_per_image=2, image_size=32, tag_size=2)
+
+
+def test_tagger_trainer_end_to_end(data_env, tmp_path):
+    from indonesian_image_captioning_tpu.train import tagger as tagger_train
+
+    tcfg = tagger_train_config(epochs=2, batch_size=4, print_freq=1,
+                               checkpoint_dir=str(tmp_path))
+    tagger_cfg = TaggerConfig(semantic_size=2, encoder_arch="resnet50")
+    logs = []
+    state, summary = tagger_train.main(data_env, tcfg, tagger_cfg,
+                                       log=logs.append)
+    name = f"checkpoint_tagger_{data_env.data_name}"
+    assert os.path.isdir(tmp_path / name)
+    # BEST_* only lands on strict improvement over 0.0 (reference
+    # trains/tagger.py:116-129 semantics) — tiny random data may never improve
+    if summary["best_metric"] > 0.0:
+        assert os.path.isdir(tmp_path / ("BEST_" + name))
+    assert 0.0 <= summary["best_metric"] <= 100.0
+
+    # resume continues from epoch 2 (i.e. does nothing more at epochs=2)
+    state2, summary2 = tagger_train.main(data_env, tcfg, tagger_cfg,
+                                         resume=True, log=logs.append)
+    assert summary2["best_metric"] >= 0.0
+
+
+@pytest.mark.parametrize("model_type", ["pure_scn", "attention_scn",
+                                        "pure_attention"])
+def test_caption_trainer_end_to_end(data_env, tmp_path, model_type):
+    from indonesian_image_captioning_tpu.data import vocab as vocab_lib
+    from indonesian_image_captioning_tpu.train import caption as caption_train
+
+    wm = vocab_lib.load_json(vocab_lib.wordmap_path(
+        data_env.data_folder, data_env.data_name))
+    cfg = ModelConfig(model_type=model_type, vocab_size=len(wm),
+                      embed_dim=16, attention_dim=16, decoder_dim=16,
+                      factored_dim=12, semantic_dim=2, enc_image_size=2,
+                      max_caption_len=12, encoder_arch="resnet50")
+    tcfg = TrainConfig(epochs=1, batch_size=4, print_freq=1,
+                       checkpoint_dir=str(tmp_path / model_type))
+    logs = []
+    state, summary = caption_train.main(
+        model_type, data_env, tcfg, model_cfg=cfg, log=logs.append)
+    name = f"checkpoint_{model_type}_{data_env.data_name}"
+    assert os.path.isdir(tmp_path / model_type / name)
+    # loss was finite and training ran
+    assert any("Epoch: [0]" in l for l in logs)
+    assert any("BLEU-4" in l for l in logs)
+
+
+def test_caption_loss_decreases(data_env):
+    """Several steps on one batch must reduce the loss (learning sanity)."""
+    import jax
+    from indonesian_image_captioning_tpu.core.prng import root_key
+    from indonesian_image_captioning_tpu.data import vocab as vocab_lib
+    from indonesian_image_captioning_tpu.data.datasets import CaptionDataset
+    from indonesian_image_captioning_tpu.data import loader as loader_lib
+    from indonesian_image_captioning_tpu.train import caption as caption_train
+    from indonesian_image_captioning_tpu.train import steps
+
+    wm = vocab_lib.load_json(vocab_lib.wordmap_path(
+        data_env.data_folder, data_env.data_name))
+    cfg = ModelConfig(model_type="pure_scn", vocab_size=len(wm),
+                      embed_dim=16, decoder_dim=16, factored_dim=12,
+                      semantic_dim=2, enc_image_size=2, max_caption_len=12,
+                      encoder_arch="resnet50")
+    tcfg = TrainConfig(batch_size=4, decoder_lr=1e-2)
+    optimizer = steps.make_optimizer(tcfg.decoder_lr, tcfg.grad_clip)
+    state = caption_train.init_state(root_key(0), cfg, optimizer)
+    ds = CaptionDataset(data_env.data_folder, data_env.data_name, "TRAIN")
+    batch = next(iter(loader_lib.iterate(ds, 4)))
+    step = steps.make_caption_train_step(cfg, tcfg, optimizer, donate=False)
+    losses = []
+    for i in range(8):
+        state, m = step(state, batch, jax.random.key(i))
+        losses.append(float(m["loss"]))
+    assert losses[-1] < losses[0] * 0.9, losses
