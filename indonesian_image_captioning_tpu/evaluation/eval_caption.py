@@ -46,23 +46,28 @@ def evaluate(state: Dict, cfg: ModelConfig, data_cfg: DataConfig,
     start_id, end_id = word_map[START_TOKEN], word_map[END_TOKEN]
     skip = {start_id, end_id, PAD_ID}
 
+    # NB: `st` is a jit ARGUMENT — closing over the state would embed
+    # ~0.5 GB of ResNet weights as HLO constants (catastrophic for the
+    # compile path).
     @jax.jit
-    def encode_and_decode(images_u8):
+    def encode_and_decode(st, images_u8):
         images = prep_images(images_u8)
         enc_out, _ = encoders.apply_encoder_caption(
-            state["encoder"], state["encoder_stats"], images, train=False,
+            st["encoder"], st["encoder_stats"], images, train=False,
             enc_image_size=cfg.enc_image_size, arch=cfg.encoder_arch)
         if cfg.uses_tags:
             tags, _ = encoders.apply_encoder_tagger(
-                state["tagger"], state["tagger_stats"], images, train=False,
+                st["tagger"], st["tagger_stats"], images, train=False,
                 arch=cfg.encoder_arch)
         else:
             tags = jax.numpy.zeros((images.shape[0], cfg.semantic_dim),
                                    images.dtype)
-        out = caption_beam_search(state["params"], cfg, enc_out, tags,
+        out = caption_beam_search(st["params"], cfg, enc_out, tags,
                                   start_id=start_id, end_id=end_id,
                                   beam_cfg=beam_cfg)
         return out["sequences"], out["lengths"]
+
+    state = jax.device_put(state)
 
     references, hypotheses = [], []
     n_images = ds.num_images
@@ -71,7 +76,7 @@ def evaluate(state: Dict, cfg: ModelConfig, data_cfg: DataConfig,
         pad = batch_size - len(idx)
         img_idx = np.concatenate([idx, np.zeros(pad, np.int64)]) if pad else idx
         images = np.stack([ds.image(int(i)) for i in img_idx])
-        seqs, lens = jax.device_get(encode_and_decode(images))
+        seqs, lens = jax.device_get(encode_and_decode(state, images))
         for row, i in enumerate(idx):
             seq = seqs[row][:int(lens[row])]
             hypotheses.append([rev_word_map[int(w)] for w in seq

@@ -82,14 +82,21 @@ def main(model_type: str,
          resume: bool = False,
          log=print):
     word_map = load_word_map(data_cfg)
-    cfg = model_cfg or ModelConfig(model_type=model_type,
-                                   vocab_size=len(word_map))
+    train_ds = CaptionDataset(data_cfg.data_folder, data_cfg.data_name, "TRAIN")
+    val_ds = CaptionDataset(data_cfg.data_folder, data_cfg.data_name, "VAL")
+    if model_cfg is None:
+        cfg = ModelConfig(model_type=model_type, vocab_size=len(word_map))
+        if (train_ds.tags is not None
+                and train_ds.tags.shape[1] != cfg.semantic_dim):
+            import dataclasses
+            cfg = dataclasses.replace(
+                cfg, semantic_dim=int(train_ds.tags.shape[1]))
+            log(f"semantic_dim set to {cfg.semantic_dim} from data")
+    else:
+        cfg = model_cfg
     if cfg.vocab_size != len(word_map):
         raise ValueError("model_cfg.vocab_size != wordmap size")
     start_id = word_map[START_TOKEN]
-
-    train_ds = CaptionDataset(data_cfg.data_folder, data_cfg.data_name, "TRAIN")
-    val_ds = CaptionDataset(data_cfg.data_folder, data_cfg.data_name, "VAL")
 
     optimizer = steps.make_optimizer(tcfg.decoder_lr, tcfg.grad_clip)
     key = root_key(tcfg.seed)

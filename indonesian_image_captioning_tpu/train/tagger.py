@@ -52,6 +52,11 @@ def main(data_cfg: DataConfig = DataConfig(),
 
     train_ds = TagDataset(data_cfg.data_folder, data_cfg.data_name, "TRAIN")
     val_ds = TagDataset(data_cfg.data_folder, data_cfg.data_name, "VAL")
+    if train_ds.tags.shape[1] != tagger_cfg.semantic_size:
+        import dataclasses
+        tagger_cfg = dataclasses.replace(
+            tagger_cfg, semantic_size=int(train_ds.tags.shape[1]))
+        log(f"semantic_size set to {tagger_cfg.semantic_size} from data")
 
     optimizer = steps.make_optimizer(tcfg.decoder_lr, tcfg.grad_clip)
     key = root_key(tcfg.seed)
