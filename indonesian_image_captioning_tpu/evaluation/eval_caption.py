@@ -46,26 +46,40 @@ def evaluate(state: Dict, cfg: ModelConfig, data_cfg: DataConfig,
     start_id, end_id = word_map[START_TOKEN], word_map[END_TOKEN]
     skip = {start_id, end_id, PAD_ID}
 
-    # NB: `st` is a jit ARGUMENT — closing over the state would embed
-    # ~0.5 GB of ResNet weights as HLO constants (catastrophic for the
-    # compile path).
+    # Three SEPARATE jitted programs, with model state as jit ARGUMENTS:
+    #  * closure capture would bake ~0.5 GB of weights into the HLO as
+    #    constants (catastrophic for the remote compile path);
+    #  * two ResNet-152s in ONE XLA program blows compile time up ~40x on
+    #    this backend, while intermediates between jits stay on device.
     @jax.jit
-    def encode_and_decode(st, images_u8):
+    def run_encoder(st, images_u8):
         images = prep_images(images_u8)
-        enc_out, _ = encoders.apply_encoder_caption(
+        return encoders.apply_encoder_caption(
             st["encoder"], st["encoder_stats"], images, train=False,
-            enc_image_size=cfg.enc_image_size, arch=cfg.encoder_arch)
-        if cfg.uses_tags:
-            tags, _ = encoders.apply_encoder_tagger(
-                st["tagger"], st["tagger_stats"], images, train=False,
-                arch=cfg.encoder_arch)
-        else:
-            tags = jax.numpy.zeros((images.shape[0], cfg.semantic_dim),
-                                   images.dtype)
+            enc_image_size=cfg.enc_image_size, arch=cfg.encoder_arch)[0]
+
+    @jax.jit
+    def run_tagger(st, images_u8):
+        images = prep_images(images_u8)
+        return encoders.apply_encoder_tagger(
+            st["tagger"], st["tagger_stats"], images, train=False,
+            arch=cfg.encoder_arch)[0]
+
+    @jax.jit
+    def run_beam(st, enc_out, tags):
         out = caption_beam_search(st["params"], cfg, enc_out, tags,
                                   start_id=start_id, end_id=end_id,
                                   beam_cfg=beam_cfg)
         return out["sequences"], out["lengths"]
+
+    def encode_and_decode(st, images_u8):
+        enc_out = run_encoder(st, images_u8)
+        if cfg.uses_tags:
+            tags = run_tagger(st, images_u8)
+        else:
+            tags = jax.numpy.zeros((images_u8.shape[0], cfg.semantic_dim),
+                                   jax.numpy.float32)
+        return run_beam(st, enc_out, tags)
 
     state = jax.device_put(state)
 

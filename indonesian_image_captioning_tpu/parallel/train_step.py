@@ -1,51 +1,53 @@
-"""Mesh-parallel train/eval/decode step builders.
+"""Mesh-parallel train step builders.
 
-Wraps the single-device step functions from train/steps.py in jax.jit with
+Wraps the single-device step logic from train/steps.py in jax.jit with
 explicit in/out shardings over a (data, model) mesh.  The SPMD partitioner
-turns the replicated-params + sharded-batch spec into per-chip compute with
-psum gradient reduction over ICI (DP), and column-parallel vocab matmuls
-with the logits left sharded over "model" (TP) when shard_vocab is on.
+turns replicated-params + sharded-batch into per-chip compute with psum
+gradient reduction over ICI (DP), and column-parallel vocab matmuls with
+logits left sharded over "model" (TP) when shard_vocab is on.
+
+The frozen encoders need no special handling: their jitted programs follow
+the sharding of their inputs (batch over "data", weights replicated), so
+``steps.make_encoders_fn`` works unchanged on a mesh once inputs are placed
+with ``sharding.place_batch``.
 """
 
 from __future__ import annotations
-
-from typing import Optional
 
 import jax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..core.config import ModelConfig, TrainConfig
-from ..core.meshes import DATA_AXIS
+from ..core.meshes import DATA_AXIS, MODEL_AXIS
 from ..train import steps as steps_lib
 from . import sharding as sh
 
 
+def _substate_sharding(mesh: Mesh, substate, shard_vocab: bool):
+    full = sh.state_sharding(mesh, substate, shard_vocab)
+    return {"params": full["params"], "opt_state": full["opt_state"]}
+
+
 def make_parallel_caption_train_step(cfg: ModelConfig, tcfg: TrainConfig,
-                                     optimizer, mesh: Mesh, state_template,
-                                     batch_template,
+                                     optimizer, mesh: Mesh,
+                                     substate_template,
                                      shard_vocab: bool = True):
-    """jitted step(state, batch, rng) with mesh shardings baked in.
-
-    state/batch templates provide tree structure for the sharding trees
-    (abstract shapes are fine).
-    """
-    base = steps_lib.make_caption_train_step(cfg, tcfg, optimizer,
-                                             donate=False)
-    # unwrap: rebuild un-jitted step to control jit ourselves
-    state_sh = sh.state_sharding(mesh, state_template, shard_vocab)
-    batch_sh = sh.batch_sharding_tree(mesh, batch_template)
+    """Returns jitted step(substate, enc_out, tags, captions, caplens, rng)
+    with DP batch sharding and optional TP vocab sharding."""
+    _, base = steps_lib.make_caption_train_step(cfg, tcfg, optimizer,
+                                                donate=False)
+    substate_sh = _substate_sharding(mesh, substate_template, shard_vocab)
+    data = lambda ndim: NamedSharding(mesh,
+                                      P(DATA_AXIS, *([None] * (ndim - 1))))
     metric_sh = NamedSharding(mesh, P())
-
-    def step(state, batch, rng):
-        return base.__wrapped__(state, batch, rng)
+    metric_tree = {"loss": metric_sh, "top5": metric_sh,
+                   "n_tokens": metric_sh, "ce": metric_sh,
+                   "alpha_penalty": metric_sh}
 
     return jax.jit(
-        step,
-        in_shardings=(state_sh, batch_sh, None),
-        out_shardings=(state_sh, jax.tree.map(lambda _: metric_sh,
-                                              {"loss": 0, "top5": 0,
-                                               "n_tokens": 0, "ce": 0,
-                                               "alpha_penalty": 0})),
+        base.__wrapped__,
+        in_shardings=(substate_sh, data(4), data(2), data(2), data(1), None),
+        out_shardings=(substate_sh, metric_tree),
         donate_argnums=(0,))
 
 
@@ -58,11 +60,8 @@ def make_parallel_tagger_train_step(tcfg: TrainConfig, optimizer, mesh: Mesh,
     batch_sh = sh.batch_sharding_tree(mesh, batch_template)
     metric_sh = NamedSharding(mesh, P())
 
-    def step(state, batch, rng):
-        return base.__wrapped__(state, batch, rng)
-
     return jax.jit(
-        step,
+        base.__wrapped__,
         in_shardings=(state_sh, batch_sh, None),
         out_shardings=(state_sh, {"loss": metric_sh, "acc": metric_sh}),
         donate_argnums=(0,))

@@ -115,8 +115,8 @@ def main(model_type: str,
         stale = int(restored["epochs_since_improvement"])
         best = float(restored["metric"])
 
-    train_step = steps.make_caption_train_step(cfg, tcfg, optimizer)
-    eval_step = steps.make_caption_eval_step(cfg, tcfg)
+    encode_fn, train_step = steps.make_caption_train_step(cfg, tcfg, optimizer)
+    eval_encode_fn, eval_step = steps.make_caption_eval_step(cfg, tcfg)
     drop_key = stream(key, "caption_dropout")
     n_train = loader_lib.num_batches(len(train_ds), tcfg.batch_size)
     n_val = loader_lib.num_batches(len(val_ds), tcfg.batch_size)
@@ -130,7 +130,13 @@ def main(model_type: str,
         for i, batch in enumerate(it):
             printer.data_loaded()
             rng = per_step(drop_key, epoch * n_train + i)
-            state_box["state"], m = train_step(state_box["state"], batch, rng)
+            st = state_box["state"]
+            enc_out, tags = encode_fn(st, batch)
+            sub, m = train_step({"params": st["params"],
+                                 "opt_state": st["opt_state"]},
+                                enc_out, tags, batch["captions"],
+                                batch["caplens"], rng)
+            state_box["state"] = {**st, **sub}
             n_tok = int(m["n_tokens"])
             printer.update(i, weights={"Loss": n_tok, "Top5": n_tok},
                            Loss=float(m["loss"]), Top5=float(m["top5"]))
@@ -143,7 +149,10 @@ def main(model_type: str,
             val_ds, tcfg.batch_size))
         for i, batch in enumerate(it):
             printer.data_loaded()
-            m = eval_step(state_box["state"], batch)
+            st = state_box["state"]
+            enc_out, tags = eval_encode_fn(st, batch)
+            m = eval_step(st["params"], enc_out, tags, batch["captions"],
+                          batch["caplens"])
             n_tok = int(m["n_tokens"])
             printer.update(i, weights={"Loss": n_tok, "Top5": n_tok},
                            Loss=float(m["loss"]), Top5=float(m["top5"]))

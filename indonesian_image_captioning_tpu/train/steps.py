@@ -70,83 +70,99 @@ def prep_images(images_u8_chw):
 # Caption models
 # ---------------------------------------------------------------------------
 
+def make_encoders_fn(cfg: ModelConfig):
+    """Frozen encoder/tagger forwards as SEPARATE jitted programs.
+
+    Two ResNet-152s in one XLA program (or fused with the decoder backward)
+    multiplies compile time on this backend; splitting keeps each program
+    small and the intermediates on device.  state is a jit ARGUMENT —
+    closure capture would bake the weights into the HLO as constants.
+    """
+
+    @jax.jit
+    def run_encoder(state, images_u8):
+        images = prep_images(images_u8)
+        return encoders.apply_encoder_caption(
+            state["encoder"], state["encoder_stats"], images, train=False,
+            enc_image_size=cfg.enc_image_size, arch=cfg.encoder_arch)[0]
+
+    @jax.jit
+    def run_tagger(state, images_u8):
+        images = prep_images(images_u8)
+        return encoders.apply_encoder_tagger(
+            state["tagger"], state["tagger_stats"], images, train=False,
+            arch=cfg.encoder_arch)[0]
+
+    def encode(state, batch):
+        enc_out = run_encoder(state, batch["images"])
+        if cfg.uses_tags:
+            tags = run_tagger(state, batch["images"])
+        else:
+            tags = jnp.zeros((batch["images"].shape[0], cfg.semantic_dim),
+                             enc_out.dtype)
+        return jax.lax.stop_gradient(enc_out), jax.lax.stop_gradient(tags)
+
+    return encode
+
+
 def make_caption_train_step(cfg: ModelConfig, tcfg: TrainConfig,
                             optimizer: optax.GradientTransformation,
                             donate: bool = True):
-    """Returns jitted step(state, batch, rng) -> (state, metrics).
+    """Returns (encode_fn, step) where step is the jitted decoder update:
 
-    state = {"params", "opt_state", "encoder", "encoder_stats",
-             "tagger", "tagger_stats"} — encoder/tagger frozen
-    (fine_tune_encoder=False default, trains/attention_scn.py:56; the tagger
-    is always frozen during caption training, :81).
-    The frozen tagger runs in eval mode (deterministic) — deliberately NOT
-    replicating the reference's dropout-at-train-time bug (SURVEY.md §5).
+        step({"params", "opt_state"}, enc_out, tags, captions, caplens, rng)
+            -> (new_substate, metrics)
+
+    The frozen encoder/tagger (fine_tune_encoder=False default,
+    trains/attention_scn.py:56; tagger always frozen, :81) run via
+    encode_fn as separate programs; the differentiated program contains
+    only the decoder scan.  The frozen tagger runs in eval mode
+    (deterministic) — deliberately NOT replicating the reference's
+    dropout-at-train-time bug (SURVEY.md §5).
     """
+    encode_fn = make_encoders_fn(cfg)
 
-    def step(state, batch, rng):
-        images = prep_images(batch["images"])
-        enc_out, _ = encoders.apply_encoder_caption(
-            state["encoder"], state["encoder_stats"], images, train=False,
-            enc_image_size=cfg.enc_image_size, arch=cfg.encoder_arch)
-        enc_out = jax.lax.stop_gradient(enc_out)
-        if cfg.uses_tags:
-            tags, _ = encoders.apply_encoder_tagger(
-                state["tagger"], state["tagger_stats"], images, train=False,
-                arch=cfg.encoder_arch)
-            tags = jax.lax.stop_gradient(tags)
-        else:
-            tags = jnp.zeros((images.shape[0], cfg.semantic_dim), images.dtype)
-
+    def step(substate, enc_out, tags, captions, caplens, rng):
         def loss_fn(params):
             out = decoders.teacher_forcing(
-                params, cfg, enc_out, tags, batch["captions"],
-                batch["caplens"], dropout_rng=rng, train=True)
-            loss, aux = losses.caption_loss(out, batch["captions"],
-                                            tcfg.alpha_c)
+                params, cfg, enc_out, tags, captions, caplens,
+                dropout_rng=rng, train=True)
+            loss, aux = losses.caption_loss(out, captions, tcfg.alpha_c)
             top5 = losses.masked_topk_accuracy(
-                out["predictions"], batch["captions"][:, 1:], out["mask"], 5)
+                out["predictions"], captions[:, 1:], out["mask"], 5)
             return loss, {**aux, "top5": top5}
 
         (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            state["params"])
-        updates, opt_state = optimizer.update(grads, state["opt_state"],
-                                              state["params"])
-        params = optax.apply_updates(state["params"], updates)
+            substate["params"])
+        updates, opt_state = optimizer.update(grads, substate["opt_state"],
+                                              substate["params"])
+        params = optax.apply_updates(substate["params"], updates)
         metrics = {"loss": loss, "top5": aux["top5"],
                    "n_tokens": aux["n_tokens"], "ce": aux["ce"],
                    "alpha_penalty": aux["alpha_penalty"]}
-        return {**state, "params": params, "opt_state": opt_state}, metrics
+        return {"params": params, "opt_state": opt_state}, metrics
 
-    return jax.jit(step, donate_argnums=(0,) if donate else ())
+    return encode_fn, jax.jit(step, donate_argnums=(0,) if donate else ())
 
 
 def make_caption_eval_step(cfg: ModelConfig, tcfg: TrainConfig):
-    """Jitted validation step -> metrics + teacher-forced argmax preds
-    (the reference's validate() scores argmax-of-scores hypotheses against
-    references with corpus BLEU, trains/attention_scn.py:366-377)."""
+    """Returns (encode_fn, step): jitted validation metrics + teacher-forced
+    argmax preds (the reference's validate() scores argmax hypotheses with
+    corpus BLEU, trains/attention_scn.py:366-377)."""
+    encode_fn = make_encoders_fn(cfg)
 
-    def step(state, batch):
-        images = prep_images(batch["images"])
-        enc_out, _ = encoders.apply_encoder_caption(
-            state["encoder"], state["encoder_stats"], images, train=False,
-            enc_image_size=cfg.enc_image_size, arch=cfg.encoder_arch)
-        if cfg.uses_tags:
-            tags, _ = encoders.apply_encoder_tagger(
-                state["tagger"], state["tagger_stats"], images, train=False,
-                arch=cfg.encoder_arch)
-        else:
-            tags = jnp.zeros((images.shape[0], cfg.semantic_dim), images.dtype)
+    @jax.jit
+    def step(params, enc_out, tags, captions, caplens):
         out = decoders.teacher_forcing(
-            state["params"], cfg, enc_out, tags, batch["captions"],
-            batch["caplens"], train=False)
-        loss, aux = losses.caption_loss(out, batch["captions"], tcfg.alpha_c)
+            params, cfg, enc_out, tags, captions, caplens, train=False)
+        loss, aux = losses.caption_loss(out, captions, tcfg.alpha_c)
         top5 = losses.masked_topk_accuracy(
-            out["predictions"], batch["captions"][:, 1:], out["mask"], 5)
+            out["predictions"], captions[:, 1:], out["mask"], 5)
         preds = jnp.argmax(out["predictions"], axis=-1)      # (B, T)
         return {"loss": loss, "top5": top5, "n_tokens": aux["n_tokens"],
                 "preds": preds, "mask": out["mask"]}
 
-    return jax.jit(step)
+    return encode_fn, step
 
 
 # ---------------------------------------------------------------------------

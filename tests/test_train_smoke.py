@@ -121,9 +121,13 @@ def test_caption_loss_decreases(data_env):
     state = caption_train.init_state(root_key(0), cfg, optimizer)
     ds = CaptionDataset(data_env.data_folder, data_env.data_name, "TRAIN")
     batch = next(iter(loader_lib.iterate(ds, 4)))
-    step = steps.make_caption_train_step(cfg, tcfg, optimizer, donate=False)
+    encode_fn, step = steps.make_caption_train_step(cfg, tcfg, optimizer,
+                                                    donate=False)
+    enc_out, tags = encode_fn(state, batch)
+    sub = {"params": state["params"], "opt_state": state["opt_state"]}
     losses = []
     for i in range(8):
-        state, m = step(state, batch, jax.random.key(i))
+        sub, m = step(sub, enc_out, tags, batch["captions"],
+                      batch["caplens"], jax.random.key(i))
         losses.append(float(m["loss"]))
     assert losses[-1] < losses[0] * 0.9, losses
