@@ -32,6 +32,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--encoder_init", default=None,
                    help="torch resnet152 state_dict to init the encoder")
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--fine_tune_encoder", action="store_true",
+                   help="jointly fine-tune ResNet stages 2-4 (reference "
+                        "fine_tune_encoder flag)")
     return p
 
 
@@ -44,7 +47,8 @@ def main(argv=None):
 
     if args.type in ("pure_scn", "attention_scn", "pure_attention"):
         tcfg = TrainConfig(checkpoint_dir=args.checkpoint_dir,
-                           seed=args.seed)
+                           seed=args.seed,
+                           fine_tune_encoder=args.fine_tune_encoder)
         tcfg = _override(tcfg, args)
         from ..train import caption
         return caption.main(args.type, data_cfg, tcfg,

@@ -239,3 +239,24 @@ def make_beam_step(params, cfg: ModelConfig, enc, tags):
         return logprobs, {"h": h, "c": c}, emit
 
     return init_state, step_fn
+
+
+def load_pretrained_embeddings(params, embeddings):
+    """Replace the embedding table (reference load_pretrained_embeddings,
+    attention_scn.py:65-71)."""
+    import jax.numpy as jnp
+    emb = jnp.asarray(embeddings)
+    if emb.shape != params["embedding"].shape:
+        raise ValueError(
+            f"embedding shape {emb.shape} != {params['embedding'].shape}")
+    return {**params, "embedding": emb.astype(params["embedding"].dtype)}
+
+
+def trainable_mask(params, fine_tune_embeddings: bool = True):
+    """Boolean pytree for optimizer masking (reference fine_tune_embeddings,
+    attention_scn.py:73-80: freezing the table only makes sense with
+    pretrained embeddings)."""
+    mask = jax.tree.map(lambda _: True, params)
+    if not fine_tune_embeddings:
+        mask["embedding"] = False
+    return mask

@@ -74,3 +74,14 @@ def normalize_images(images_u8):
     transforms: /255 then Normalize(mean, std))."""
     x = images_u8.astype(jnp.float32) / 255.0
     return (x - IMAGENET_MEAN) / IMAGENET_STD
+
+
+def caption_encoder_trainable_mask(params):
+    """True for the fine-tunable subtree: resnet stages 2-4 (reference
+    EncoderCaption.fine_tune tunes children()[5:] of the stripped
+    Sequential = layer2..layer4, encoders/caption.py:46-57)."""
+    def mask_resnet(tree):
+        return {k: jax.tree.map(
+            lambda _: k in ("layer2", "layer3", "layer4"), v)
+            for k, v in tree.items()}
+    return {"resnet": mask_resnet(params["resnet"])}

@@ -79,10 +79,10 @@ def state_sharding(mesh: Mesh, state: Pytree,
 
             # optax chain state: (clamp EmptyState, InjectHyperparamsState)
             # inner adam holds mu/nu with param structure
-            import optax
+            from ..train.steps import is_inject_state
             new_opt = []
             for s in state["opt_state"]:
-                if isinstance(s, optax.InjectHyperparamsState):
+                if is_inject_state(s):
                     inner = s.inner_state
                     mapped = []
                     for st in inner:

@@ -37,8 +37,8 @@ def make_parallel_caption_train_step(cfg: ModelConfig, tcfg: TrainConfig,
     _, base = steps_lib.make_caption_train_step(cfg, tcfg, optimizer,
                                                 donate=False)
     substate_sh = _substate_sharding(mesh, substate_template, shard_vocab)
-    data = lambda ndim: NamedSharding(mesh,
-                                      P(DATA_AXIS, *([None] * (ndim - 1))))
+    # P(DATA_AXIS) shards the leading (batch) dim regardless of rank
+    data = lambda _ndim: NamedSharding(mesh, P(DATA_AXIS))
     metric_sh = NamedSharding(mesh, P())
     metric_tree = {"loss": metric_sh, "top5": metric_sh,
                    "n_tokens": metric_sh, "ce": metric_sh,

@@ -115,7 +115,14 @@ def main(model_type: str,
         stale = int(restored["epochs_since_improvement"])
         best = float(restored["metric"])
 
-    encode_fn, train_step = steps.make_caption_train_step(cfg, tcfg, optimizer)
+    if tcfg.fine_tune_encoder:
+        enc_optimizer = steps.make_optimizer(tcfg.encoder_lr, tcfg.grad_clip)
+        state["enc_opt_state"] = enc_optimizer.init(state["encoder"])
+        tagger_fn, finetune_step = steps.make_caption_finetune_train_step(
+            cfg, tcfg, optimizer, enc_optimizer)
+    else:
+        encode_fn, train_step = steps.make_caption_train_step(
+            cfg, tcfg, optimizer)
     eval_encode_fn, eval_step = steps.make_caption_eval_step(cfg, tcfg)
     drop_key = stream(key, "caption_dropout")
     n_train = loader_lib.num_batches(len(train_ds), tcfg.batch_size)
@@ -131,12 +138,21 @@ def main(model_type: str,
             printer.data_loaded()
             rng = per_step(drop_key, epoch * n_train + i)
             st = state_box["state"]
-            enc_out, tags = encode_fn(st, batch)
-            sub, m = train_step({"params": st["params"],
-                                 "opt_state": st["opt_state"]},
-                                enc_out, tags, batch["captions"],
-                                batch["caplens"], rng)
-            state_box["state"] = {**st, **sub}
+            if tcfg.fine_tune_encoder:
+                tags = tagger_fn(st, batch)
+                sub = {k: st[k] for k in ("params", "opt_state", "encoder",
+                                          "encoder_stats", "enc_opt_state")}
+                sub, m = finetune_step(sub, batch["images"], tags,
+                                       batch["captions"], batch["caplens"],
+                                       rng)
+                state_box["state"] = {**st, **sub}
+            else:
+                enc_out, tags = encode_fn(st, batch)
+                sub, m = train_step({"params": st["params"],
+                                     "opt_state": st["opt_state"]},
+                                    enc_out, tags, batch["captions"],
+                                    batch["caplens"], rng)
+                state_box["state"] = {**st, **sub}
             n_tok = int(m["n_tokens"])
             printer.update(i, weights={"Loss": n_tok, "Top5": n_tok},
                            Loss=float(m["loss"]), Top5=float(m["top5"]))
@@ -179,6 +195,9 @@ def main(model_type: str,
     def decay(factor: float):
         state_box["state"]["opt_state"] = steps.decay_learning_rate(
             state_box["state"]["opt_state"], factor)
+        if tcfg.fine_tune_encoder:  # reference decays both (attention_scn.py:140-142)
+            state_box["state"]["enc_opt_state"] = steps.decay_learning_rate(
+                state_box["state"]["enc_opt_state"], factor)
         log(f"DECAYING learning rate; new LR "
             f"{steps.current_learning_rate(state_box['state']['opt_state']):.6f}")
 

@@ -43,19 +43,26 @@ def _clamp(limit: float) -> optax.GradientTransformation:
     return optax.GradientTransformation(lambda _: optax.EmptyState(), update)
 
 
+def is_inject_state(s) -> bool:
+    """Matches optax's InjectHyperparamsState / InjectStatefulHyperparamsState
+    (the class name differs across optax versions)."""
+    return hasattr(s, "hyperparams") and hasattr(s, "_replace") \
+        and "learning_rate" in getattr(s, "hyperparams", {})
+
+
 def decay_learning_rate(opt_state, factor: float):
     """Multiply the injected Adam LR by ``factor`` (utils/optimizer.py:14-24).
     The optimizer state is the chain tuple (clamp state, inject state)."""
     return tuple(
         s._replace(hyperparams={**s.hyperparams,
                                 "learning_rate": s.hyperparams["learning_rate"] * factor})
-        if isinstance(s, optax.InjectHyperparamsState) else s
+        if is_inject_state(s) else s
         for s in opt_state)
 
 
 def current_learning_rate(opt_state) -> float:
     for s in opt_state:
-        if isinstance(s, optax.InjectHyperparamsState):
+        if is_inject_state(s):
             return float(s.hyperparams["learning_rate"])
     return float("nan")
 
@@ -163,6 +170,81 @@ def make_caption_eval_step(cfg: ModelConfig, tcfg: TrainConfig):
                 "preds": preds, "mask": out["mask"]}
 
     return encode_fn, step
+
+
+def make_caption_finetune_train_step(
+        cfg: ModelConfig, tcfg: TrainConfig,
+        dec_optimizer: optax.GradientTransformation,
+        enc_optimizer: optax.GradientTransformation,
+        fine_tune_embeddings: bool = True,
+        donate: bool = True):
+    """Joint decoder + encoder fine-tuning step (fine_tune_encoder=True path,
+    trains/attention_scn.py:93-96,141-142: separate Adam on the encoder's
+    stages 2-4 at encoder_lr).
+
+    Returns (tagger_fn, step) where
+      tagger_fn(state, batch) -> tags          (frozen tagger, own program)
+      step(state, images_u8, tags, captions, caplens, rng)
+          -> (new_state, metrics)
+    with state = {"params", "opt_state", "encoder", "encoder_stats",
+    "enc_opt_state"}.  The encoder runs train-mode BatchNorm (batch stats +
+    running-stat updates) like the reference's encoder.train().  NB: this
+    program differentiates through ResNet-152 — first compile is expensive
+    on this backend; the default frozen-encoder path avoids it.
+    """
+    from ..models.encoders import caption_encoder_trainable_mask
+
+    @jax.jit
+    def tagger_fn(state, batch):
+        images = prep_images(batch["images"])
+        if not cfg.uses_tags:
+            return jnp.zeros((images.shape[0], cfg.semantic_dim),
+                             images.dtype)
+        return jax.lax.stop_gradient(encoders.apply_encoder_tagger(
+            state["tagger"], state["tagger_stats"], images, train=False,
+            arch=cfg.encoder_arch)[0])
+
+    def step(state, images_u8, tags, captions, caplens, rng):
+        images = prep_images(images_u8)
+
+        def loss_fn(dec_params, enc_params):
+            enc_out, new_enc_stats = encoders.apply_encoder_caption(
+                enc_params, state["encoder_stats"], images, train=True,
+                enc_image_size=cfg.enc_image_size, arch=cfg.encoder_arch)
+            out = decoders.teacher_forcing(
+                dec_params, cfg, enc_out, tags, captions, caplens,
+                dropout_rng=rng, train=True)
+            loss, aux = losses.caption_loss(out, captions, tcfg.alpha_c)
+            top5 = losses.masked_topk_accuracy(
+                out["predictions"], captions[:, 1:], out["mask"], 5)
+            return loss, ({**aux, "top5": top5}, new_enc_stats)
+
+        (loss, (aux, new_enc_stats)), (dgrads, egrads) = jax.value_and_grad(
+            loss_fn, argnums=(0, 1), has_aux=True)(
+            state["params"], state["encoder"])
+
+        dmask = decoders.trainable_mask(state["params"], fine_tune_embeddings)
+        dgrads = jax.tree.map(lambda g, m: g if m else jnp.zeros_like(g),
+                              dgrads, dmask)
+        dupd, dopt = dec_optimizer.update(dgrads, state["opt_state"],
+                                          state["params"])
+        params = optax.apply_updates(state["params"], dupd)
+
+        emask = caption_encoder_trainable_mask(state["encoder"])
+        egrads = jax.tree.map(lambda g, m: g if m else jnp.zeros_like(g),
+                              egrads, emask)
+        eupd, eopt = enc_optimizer.update(egrads, state["enc_opt_state"],
+                                          state["encoder"])
+        enc_params = optax.apply_updates(state["encoder"], eupd)
+
+        metrics = {"loss": loss, "top5": aux["top5"],
+                   "n_tokens": aux["n_tokens"], "ce": aux["ce"],
+                   "alpha_penalty": aux["alpha_penalty"]}
+        return ({**state, "params": params, "opt_state": dopt,
+                 "encoder": enc_params, "encoder_stats": new_enc_stats,
+                 "enc_opt_state": eopt}, metrics)
+
+    return tagger_fn, jax.jit(step, donate_argnums=(0,) if donate else ())
 
 
 # ---------------------------------------------------------------------------
