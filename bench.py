@@ -35,24 +35,30 @@ def main():
     from indonesian_image_captioning_tpu.models import decoders
 
     V = 6763  # flickr8k-id vocab (reference corpus_score.py:110-118)
-    cfg = ModelConfig(model_type="attention_scn", vocab_size=V)
+    # bf16 params/activations (TPU-native serving precision), batch 256
+    cfg = ModelConfig(model_type="attention_scn", vocab_size=V,
+                      dtype="bfloat16")
     params = decoders.init_decoder(jax.random.key(0), cfg)
-    B = 64
-    enc = jax.random.normal(
+    params = jax.tree.map(lambda x: x.astype(jnp.bfloat16), params)
+    B = 256
+    enc = (jax.random.normal(
         jax.random.key(1),
-        (B, cfg.enc_image_size, cfg.enc_image_size, cfg.encoder_dim)) * 0.1
-    tags = jax.random.uniform(jax.random.key(2), (B, cfg.semantic_dim))
+        (B, cfg.enc_image_size, cfg.enc_image_size, cfg.encoder_dim))
+        * 0.1).astype(jnp.bfloat16)
+    tags = jax.random.uniform(jax.random.key(2),
+                              (B, cfg.semantic_dim)).astype(jnp.bfloat16)
     beam_cfg = BeamConfig(beam_size=5)
 
     def run():
         out = caption_beam_search(params, cfg, enc, tags, start_id=V - 2,
                                   end_id=V - 1, beam_cfg=beam_cfg)
-        jax.block_until_ready(out["sequences"])
-        return out
+        # hard sync: device_get (block_until_ready alone can return early
+        # through the axon relay)
+        return jax.device_get(out["lengths"])
 
-    out = run()  # compile + warm
+    lens = run()  # compile + warm
     # sanity: worst case decode ran the full window
-    assert int(out["lengths"][0]) == beam_cfg.max_steps + 1, (
+    assert int(lens[0]) == beam_cfg.max_steps + 1, (
         "expected full-length decode with random weights")
 
     n_iter = 3

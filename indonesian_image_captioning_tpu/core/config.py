@@ -38,6 +38,9 @@ class ModelConfig:
     # ResNet variant backing the caption/tagger encoders (resnet152 parity
     # default; smaller variants for tests/smoke runs).
     encoder_arch: str = "resnet152"
+    # Use the fused Pallas SCN decode-step kernel (ops/scn_pallas.py) in
+    # beam search instead of the XLA step (TPU only; ~12% faster per step).
+    fused_cell: bool = False
 
     @property
     def num_pixels(self) -> int:

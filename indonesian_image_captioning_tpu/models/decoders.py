@@ -212,6 +212,17 @@ def make_beam_step(params, cfg: ModelConfig, enc, tags):
             x[:, None], (B, beam_size) + x.shape[1:])
         return {"h": tile(h0), "c": tile(c0)}
 
+    def scn_apply(x_or_fac, h, c, *, raw_x=None):
+        """SCN recurrence: fused Pallas kernel or the XLA step."""
+        if cfg.fused_cell:
+            from ..ops.scn_pallas import scn_step_fused
+            K = h.shape[1]
+            bc = lambda a: jnp.broadcast_to(a, (a.shape[0], K) + a.shape[2:])
+            return scn_step_fused(cell, raw_x, bc(inv["sem_x"]),
+                                  bc(inv["sem_h"]), h, c)
+        return scn_cell.scn_step(cell, x_or_fac, inv["sem_x"], inv["sem_h"],
+                                 h, c)
+
     def step_fn(state, prev_words):
         h, c = state["h"], state["c"]                   # (B, K, D)
         emb = params["embedding"][prev_words]           # (B, K, Emb)
@@ -223,17 +234,21 @@ def make_beam_step(params, cfg: ModelConfig, enc, tags):
             awe = gate * awe
             emit["alpha"] = alpha                       # (B, K, P)
             if is_scn:
-                x_fac = (_gate_factor(emb @ inv["w_x_emb"])
-                         + _gate_factor(awe @ inv["w_x_awe"]))
-                h, c = scn_cell.scn_step(
-                    cell, x_fac, inv["sem_x"], inv["sem_h"], h, c)
+                if cfg.fused_cell:
+                    h, c = scn_apply(None, h, c,
+                                     raw_x=jnp.concatenate([emb, awe], -1))
+                else:
+                    x_fac = (_gate_factor(emb @ inv["w_x_emb"])
+                             + _gate_factor(awe @ inv["w_x_awe"]))
+                    h, c = scn_apply(x_fac, h, c)
             else:
                 x = jnp.concatenate([emb, awe], axis=-1)
                 h, c = lstm_cell.lstm_step(cell, x, h, c)
         else:
-            x_fac = scn_cell.input_factor(cell, emb)
-            h, c = scn_cell.scn_step(
-                cell, x_fac, inv["sem_x"], inv["sem_h"], h, c)
+            if cfg.fused_cell:
+                h, c = scn_apply(None, h, c, raw_x=emb)
+            else:
+                h, c = scn_apply(scn_cell.input_factor(cell, emb), h, c)
         logits = linear(params["fc"], h)                # (B, K, V)
         logprobs = jax.nn.log_softmax(logits, axis=-1)
         return logprobs, {"h": h, "c": c}, emit

@@ -2,23 +2,22 @@
 
 The decode hot loop (SURVEY.md §3.5, N1) runs the SCN recurrence once per
 token per beam lane.  The XLA version (models/scn_cell.py) already fuses
-the reference's 24 matmuls into 4; this kernel fuses the WHOLE step —
-both gate matmul chains, the semantic modulation, the per-gate output
-projections and the LSTM nonlinearities — into one VMEM-resident program,
-removing every intermediate HBM round trip.  At decode batch sizes
-(B*K ~ 5..320 rows) the step is bandwidth-bound on weight streaming, so
-keeping activations in VMEM and streaming each weight slab exactly once is
-the speed-of-light schedule.
+the reference's 24 matmuls into 4 and — measured on v5e — runs the step at
+the HBM roofline (~25 us for the 27 MB weight stream at 512 dims), so this
+kernel exists as the hand-scheduled alternative: it tiles the recurrence
+over a (gate, row-block) grid, keeps every intermediate in VMEM, and
+streams each weight slab exactly once per row-block.
 
-Layout: rows = B*K flattened lanes padded to a multiple of 8 (fp32
-sublane).  Weights arrive in the canonical scn_cell layout:
-    w_x (In, 4F), w_h (H, 4F), w_xp/w_hp (4, F, H), b (4, H)
-with the semantic factors sem_x/sem_h (rows, 4F) precomputed outside the
-loop (they are loop invariants — see scn_cell.semantic_projections).
+Schedule: grid = (4 gates, R/BR row blocks).  Program (g, r) computes the
+pre-activation of gate g for row block r:
 
-Grid: single program (decode shapes fit VMEM comfortably:
-rows<=512, In<=2560, F=H=512 -> ~13 MB weights + activations in fp32
-streamed in 4F-column tiles of one gate each).
+    pre[g, r] = (x[r] @ w_x[:, g]) * sem_x[r, g] @ w_xp[g]
+              + (h[r] @ w_h[:, g]) * sem_h[r, g] @ w_hp[g] + b[g]
+
+The cheap elementwise LSTM epilogue (sigmoid/tanh/cell update) runs in XLA
+where it fuses into the surrounding program for free.  Splitting by gate
+keeps VMEM well under the 16 MB budget even at the attention_scn input
+width (In = embed + 2048 = 2560).
 """
 
 from __future__ import annotations
@@ -31,60 +30,40 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _scn_step_kernel(x_ref, sem_x_ref, sem_h_ref, h_ref, c_ref,
-                     w_x_ref, w_h_ref, w_xp_ref, w_hp_ref, b_ref,
-                     h_out_ref, c_out_ref):
-    """One fused SCN step.  All refs in VMEM.
+def _gate_kernel(x_ref, sem_x_ref, h_ref, sem_h_ref,
+                 w_x_ref, w_h_ref, w_xp_ref, w_hp_ref, b_ref, out_ref):
+    """pre-activation of one gate for one row block; all refs in VMEM.
 
-    x:     (R, In)    concatenated input (embedding [+ gated awe])
-    sem_*: (R, 4F)    semantic factors
-    h, c:  (R, H)
-    w_x:   (In, 4F);  w_h: (H, 4F);  w_xp/w_hp: (4, F, H);  b: (4, H)
+    x: (BR, In); sem_x/sem_h: (BR, F); h: (BR, H)
+    w_x: (In, F); w_h: (H, F); w_xp/w_hp: (F, H); b: (1, H)
+    out: (BR, H)
     """
-    x = x_ref[:]
-    h = h_ref[:]
-    F = w_xp_ref.shape[1]
-    H = w_xp_ref.shape[2]
-
-    # Gate factor activations: one fused matmul per path (MXU), then the
-    # semantic Hadamard modulation (VPU) while still in VMEM.
-    tx = jnp.dot(x, w_x_ref[:], preferred_element_type=jnp.float32)
-    tx = tx * sem_x_ref[:]
-    th = jnp.dot(h, w_h_ref[:], preferred_element_type=jnp.float32)
-    th = th * sem_h_ref[:]
-
-    # Per-gate output projections + bias + nonlinearities, gate by gate —
-    # each gate's (R, F) slab hits the MXU against (F, H).
-    def gate(g):
-        pre = (jnp.dot(tx[:, g * F:(g + 1) * F], w_xp_ref[g],
-                       preferred_element_type=jnp.float32)
-               + jnp.dot(th[:, g * F:(g + 1) * F], w_hp_ref[g],
-                         preferred_element_type=jnp.float32)
-               + b_ref[g])
-        return pre
-
-    i = jax.nn.sigmoid(gate(0))
-    f = jax.nn.sigmoid(gate(1))
-    o = jax.nn.sigmoid(gate(2))
-    g_ = jnp.tanh(gate(3))
-    c_new = f * c_ref[:] + i * g_
-    h_out_ref[:] = (o * jnp.tanh(c_new)).astype(h_out_ref.dtype)
-    c_out_ref[:] = c_new.astype(c_out_ref.dtype)
+    tx = jnp.dot(x_ref[:], w_x_ref[0],
+                 preferred_element_type=jnp.float32) * sem_x_ref[0]
+    th = jnp.dot(h_ref[:], w_h_ref[0],
+                 preferred_element_type=jnp.float32) * sem_h_ref[0]
+    out_ref[0] = (jnp.dot(tx, w_xp_ref[0], preferred_element_type=jnp.float32)
+                  + jnp.dot(th, w_hp_ref[0],
+                            preferred_element_type=jnp.float32)
+                  + b_ref[0]).astype(out_ref.dtype)
 
 
 def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
-def scn_step_fused(params, x, sem_x, sem_h, h, c, *, interpret: bool = False):
-    """Fused SCN decode step; drop-in for scn_cell.scn_step on 2-D inputs.
+def scn_step_fused(params, x, sem_x, sem_h, h, c, *, interpret=None,
+                   block_rows: int = 128):
+    """Fused SCN decode step; drop-in for scn_cell.scn_step on any leading
+    shape (flattened to rows internally and padded to the row block).
 
     params: canonical scn_cell dict; x: (..., In); sem_x/sem_h: (..., 4, F)
-    (as produced by semantic_projections — reshaped internally); h/c:
-    (..., H).  Leading dims are flattened to rows and padded to the fp32
-    sublane multiple.
+    (from scn_cell.semantic_projections); h/c: (..., H).
+    interpret=None auto-selects interpreter mode off-TPU (CPU tests).
     """
+    if interpret is None:
+        # interpreter mode off-TPU (the axon TPU platform reports "axon")
+        interpret = jax.default_backend() == "cpu"
     lead = h.shape[:-1]
     In = x.shape[-1]
     H = h.shape[-1]
@@ -92,7 +71,8 @@ def scn_step_fused(params, x, sem_x, sem_h, h, c, *, interpret: bool = False):
     rows = 1
     for d in lead:
         rows *= d
-    R = max(_round_up(rows, 8), 8)
+    BR = min(block_rows, max(_round_up(rows, 8), 8))
+    R = _round_up(max(rows, BR), BR)
 
     def flat(a, width):
         a = a.reshape(rows, width)
@@ -101,23 +81,55 @@ def scn_step_fused(params, x, sem_x, sem_h, h, c, *, interpret: bool = False):
         return a
 
     x2 = flat(x, In)
-    sx = flat(sem_x.reshape(*lead, 4 * F), 4 * F)
-    sh = flat(sem_h.reshape(*lead, 4 * F), 4 * F)
     h2 = flat(h, H)
-    c2 = flat(c, H)
-    b = jnp.stack([params["b_x"][g] + params["b_h"][g] for g in range(4)])
+    # (R, 4, F) -> (4, R, F) so each gate's slab is contiguous per program
+    sx = jnp.moveaxis(flat(sem_x.reshape(*lead, 4 * F), 4 * F)
+                      .reshape(R, 4, F), 1, 0)
+    sh = jnp.moveaxis(flat(sem_h.reshape(*lead, 4 * F), 4 * F)
+                      .reshape(R, 4, F), 1, 0)
+    # gate-major weight slabs: (4, In, F) so each program's block has full
+    # trailing (In, F) dims (Pallas tiling constraint)
+    w_x4 = jnp.moveaxis(params["w_x"].reshape(In, 4, F), 1, 0)
+    w_h4 = jnp.moveaxis(params["w_h"].reshape(H, 4, F), 1, 0)
+    b = (params["b_x"] + params["b_h"]).reshape(4, 1, H)
 
-    h_new, c_new = pl.pallas_call(
-        _scn_step_kernel,
-        out_shape=(jax.ShapeDtypeStruct((R, H), h.dtype),
-                   jax.ShapeDtypeStruct((R, H), c.dtype)),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 10,
-        out_specs=(pl.BlockSpec(memory_space=pltpu.VMEM),
-                   pl.BlockSpec(memory_space=pltpu.VMEM)),
+    n_row_blocks = R // BR
+    grid = (4, n_row_blocks)
+    pre = pl.pallas_call(
+        _gate_kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((BR, In), lambda g, r: (r, 0),
+                         memory_space=pltpu.VMEM),            # x
+            pl.BlockSpec((1, BR, F), lambda g, r: (g, r, 0),
+                         memory_space=pltpu.VMEM),            # sem_x
+            pl.BlockSpec((BR, H), lambda g, r: (r, 0),
+                         memory_space=pltpu.VMEM),            # h
+            pl.BlockSpec((1, BR, F), lambda g, r: (g, r, 0),
+                         memory_space=pltpu.VMEM),            # sem_h
+            pl.BlockSpec((1, In, F), lambda g, r: (g, 0, 0),
+                         memory_space=pltpu.VMEM),            # w_x slab
+            pl.BlockSpec((1, H, F), lambda g, r: (g, 0, 0),
+                         memory_space=pltpu.VMEM),            # w_h slab
+            pl.BlockSpec((1, F, H), lambda g, r: (g, 0, 0),
+                         memory_space=pltpu.VMEM),            # w_xp[g]
+            pl.BlockSpec((1, F, H), lambda g, r: (g, 0, 0),
+                         memory_space=pltpu.VMEM),            # w_hp[g]
+            pl.BlockSpec((1, 1, H), lambda g, r: (g, 0, 0),
+                         memory_space=pltpu.VMEM),            # b[g]
+        ],
+        out_specs=pl.BlockSpec((1, BR, H), lambda g, r: (g, r, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((4, R, H), jnp.float32),
         interpret=interpret,
-    )(x2, sx, sh, h2, c2, params["w_x"], params["w_h"], params["w_xp"],
-      params["w_hp"], b)
+    )(x2, sx, h2, sh, w_x4, w_h4, params["w_xp"], params["w_hp"], b)
 
-    h_new = h_new[:rows].reshape(*lead, H)
-    c_new = c_new[:rows].reshape(*lead, H)
-    return h_new, c_new
+    i = jax.nn.sigmoid(pre[0, :rows])
+    f = jax.nn.sigmoid(pre[1, :rows])
+    o = jax.nn.sigmoid(pre[2, :rows])
+    g_ = jnp.tanh(pre[3, :rows])
+    c2 = flat(c, H)[:rows]
+    c_new = f * c2 + i * g_
+    h_new = o * jnp.tanh(c_new)
+    return (h_new.reshape(*lead, H).astype(h.dtype),
+            c_new.reshape(*lead, H).astype(c.dtype))
