@@ -41,6 +41,10 @@ class ModelConfig:
     # Use the fused Pallas SCN decode-step kernel (ops/scn_pallas.py) in
     # beam search instead of the XLA step (TPU only; ~12% faster per step).
     fused_cell: bool = False
+    # Use the fused Pallas additive-attention kernel
+    # (ops/attention_pallas.py) in beam search — avoids materialising the
+    # (B, K, P, A) relu intermediate; the dominant decode cost in XLA.
+    fused_attention: bool = False
 
     @property
     def num_pixels(self) -> int:

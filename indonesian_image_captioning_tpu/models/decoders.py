@@ -228,8 +228,13 @@ def make_beam_step(params, cfg: ModelConfig, enc, tags):
         emb = params["embedding"][prev_words]           # (B, K, Emb)
         emit = {}
         if cfg.uses_attention:
-            awe, alpha = attn.attend(
-                params["attention"], inv["enc"], inv["enc_att"], h)
+            if cfg.fused_attention:
+                from ..ops.attention_pallas import attend_fused
+                awe, alpha = attend_fused(
+                    params["attention"], inv["enc"], inv["enc_att"], h)
+            else:
+                awe, alpha = attn.attend(
+                    params["attention"], inv["enc"], inv["enc_att"], h)
             gate = jax.nn.sigmoid(linear(params["f_beta"], h))
             awe = gate * awe
             emit["alpha"] = alpha                       # (B, K, P)
