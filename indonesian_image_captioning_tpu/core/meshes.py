@@ -62,3 +62,21 @@ def local_mesh_for_testing(n: int = 8) -> Mesh:
         raise RuntimeError(
             f"need {n} devices; set XLA_FLAGS=--xla_force_host_platform_device_count={n}")
     return make_mesh((n, 1), devs[:n])
+
+
+def initialize_distributed(coordinator_address=None, num_processes=None,
+                           process_id=None):
+    """Multi-host bring-up: ``jax.distributed.initialize`` with env-var
+    defaults.  Single-process (the common case, and all this machine can
+    exercise) is a no-op.  After init, ``make_mesh`` over
+    ``jax.devices()`` spans all hosts; data loading should shard per
+    process via ``jax.process_index()``.
+    """
+    import os
+    if num_processes is None:
+        num_processes = int(os.environ.get("IIC_TPU_NUM_PROCESSES", "1"))
+    if num_processes <= 1:
+        return
+    jax.distributed.initialize(coordinator_address=coordinator_address,
+                               num_processes=num_processes,
+                               process_id=process_id)

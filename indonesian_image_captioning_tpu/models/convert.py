@@ -119,3 +119,70 @@ def encoder_tagger_from_torch(sd: Dict, arch: str = "resnet152"):
                                                if k.startswith("linear.")},
                                               "linear")}
     return params, {"resnet": rs}
+
+
+def _resnet_to_torch_sd(params, stats, arch: str = "resnet152"):
+    """Canonical resnet pytrees -> torchvision-layout state_dict arrays."""
+    import numpy as np
+    sd = {}
+
+    def conv(name, w):  # HWIO -> OIHW
+        sd[name + ".weight"] = np.transpose(np.asarray(w), (3, 2, 0, 1))
+
+    def bn(name, p, s):
+        sd[name + ".weight"] = np.asarray(p["scale"])
+        sd[name + ".bias"] = np.asarray(p["bias"])
+        sd[name + ".running_mean"] = np.asarray(s["mean"])
+        sd[name + ".running_var"] = np.asarray(s["var"])
+
+    conv("conv1", params["conv1"])
+    bn("bn1", params["bn1"], stats["bn1"])
+    for stage in range(1, 5):
+        sp, ss = params[f"layer{stage}"], stats[f"layer{stage}"]
+
+        def emit(pre, bp, bs):
+            for i in (1, 2, 3):
+                conv(f"{pre}.conv{i}", bp[f"conv{i}"])
+                bn(f"{pre}.bn{i}", bp[f"bn{i}"], bs[f"bn{i}"])
+            if "downsample_conv" in bp:
+                conv(f"{pre}.downsample.0", bp["downsample_conv"])
+                bn(f"{pre}.downsample.1", bp["downsample_bn"],
+                   bs["downsample_bn"])
+
+        emit(f"layer{stage}.0", sp["first"], ss["first"])
+        if sp["rest"] is not None:
+            import jax
+            n_rest = jax.tree.leaves(sp["rest"])[0].shape[0]
+            for b in range(n_rest):
+                bp = jax.tree.map(lambda x: x[b], sp["rest"])
+                bs = jax.tree.map(lambda x: x[b], ss["rest"])
+                emit(f"layer{stage}.{b + 1}", bp, bs)
+    return sd
+
+
+def _sequential_sd(resnet_sd, prefix: str = "resnet."):
+    """Rename resnet stages into the reference's nn.Sequential numbering."""
+    inv = {v: k for k, v in _SEQ_TO_STAGE.items()}
+    out = {}
+    for k, v in resnet_sd.items():
+        stage, _, tail = k.partition(".")
+        out[f"{prefix}{inv[stage]}.{tail}"] = v
+    return out
+
+
+def encoder_caption_to_torch(params, stats, arch: str = "resnet152"):
+    """EncoderCaption pytrees -> reference serve state_dict
+    (encoder_model_state_dict layout)."""
+    return _sequential_sd(_resnet_to_torch_sd(
+        params["resnet"], stats["resnet"], arch))
+
+
+def encoder_tagger_to_torch(params, stats, arch: str = "resnet152"):
+    """EncoderTagger pytrees -> reference serve state_dict
+    (model_state_dict layout: resnet.* + linear.*)."""
+    import numpy as np
+    sd = _sequential_sd(_resnet_to_torch_sd(
+        params["resnet"], stats["resnet"], arch))
+    sd["linear.weight"] = np.asarray(params["linear"]["w"]).T
+    sd["linear.bias"] = np.asarray(params["linear"]["b"])
+    return sd
