@@ -280,3 +280,17 @@ def trainable_mask(params, fine_tune_embeddings: bool = True):
     if not fine_tune_embeddings:
         mask["embedding"] = False
     return mask
+
+
+def cast_params(params, dtype):
+    """Cast a decoder param tree to a compute dtype (e.g. bf16 serving).
+
+    ``ModelConfig.dtype`` documents the intended precision; params are the
+    source of truth at apply time, so cast them once here rather than per
+    step.  Integer leaves are left untouched.
+    """
+    import jax.numpy as jnp
+    dtype = jnp.dtype(dtype)
+    return jax.tree.map(
+        lambda x: x.astype(dtype) if jnp.issubdtype(x.dtype, jnp.floating)
+        else x, params)

@@ -103,3 +103,46 @@ def test_graft_entry_single_chip():
     fn, args = ge.entry()
     loss = jax.jit(fn)(*args)
     assert np.isfinite(float(loss))
+
+
+def test_parallel_tagger_step_runs():
+    from indonesian_image_captioning_tpu.core.config import (
+        TaggerConfig, tagger_train_config)
+    from indonesian_image_captioning_tpu.models import encoders
+    from indonesian_image_captioning_tpu.parallel.train_step import (
+        make_parallel_tagger_train_step)
+
+    tcfg = tagger_train_config(batch_size=8)
+    opt = steps.make_optimizer(tcfg.decoder_lr, tcfg.grad_clip)
+    params, stats = encoders.init_encoder_tagger(
+        jax.random.key(0), TaggerConfig(semantic_size=4), arch="resnet50")
+    state = {"params": params, "stats": stats, "opt_state": opt.init(params)}
+    batch = {"images": np.zeros((8, 3, 32, 32), np.uint8),
+             "tags": np.ones((8, 4), np.float32),
+             "valid": np.ones(8, np.float32)}
+    mesh = make_mesh((8, 1))
+    step = make_parallel_tagger_train_step(tcfg, opt, mesh, state, batch,
+                                           arch="resnet50")
+    state_p = jax.device_put(state, jax.tree.map(
+        lambda _: sh.replicated(mesh), state))
+    batch_p = sh.place_batch(mesh, batch)
+    new_state, m = step(state_p, batch_p, jax.random.key(1))
+    assert np.isfinite(float(m["loss"]))
+    assert 0.0 <= float(m["acc"]) <= 100.0
+
+
+def test_greedy_decode_api():
+    from indonesian_image_captioning_tpu.core.config import ModelConfig
+    from indonesian_image_captioning_tpu.decode.greedy import caption_greedy
+    from indonesian_image_captioning_tpu.models import decoders as dec
+
+    cfg = ModelConfig(model_type="pure_scn", vocab_size=30, embed_dim=16,
+                      decoder_dim=16, factored_dim=8, semantic_dim=4,
+                      enc_image_size=2, max_caption_len=10)
+    params = dec.init_decoder(jax.random.key(0), cfg)
+    enc = jnp.zeros((2, 2, 2, cfg.encoder_dim))
+    tags = jnp.zeros((2, cfg.semantic_dim))
+    out = caption_greedy(params, cfg, enc, tags, start_id=28, end_id=29,
+                         max_steps=9)
+    assert out["sequences"].shape == (2, 10)
+    assert (np.asarray(out["sequences"][:, 0]) == 28).all()
