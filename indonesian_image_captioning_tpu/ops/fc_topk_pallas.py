@@ -26,13 +26,14 @@ Tie-break note: insertion uses count(tv >= v) so equal values keep the
 earlier (lower vocab index / earlier lane) entry first — matching
 ``lax.top_k``'s first-occurrence order.
 
-Measured (v5e, R=1280, V=6763, k=5): XLA fc+log_softmax+flat top_k
-0.93 ms vs this kernel 1.40 ms — the k sequential rowmax/insert rounds per
-vocab tile cost more VPU passes than the avoided logits round-trip saves,
-so the engine keeps the XLA head.  The kernel remains exact
-(TPU-verified) and becomes attractive for larger vocabularies (the XLA
-path scales with V through three full logits passes; this kernel's merge
-cost is flat per tile) — e.g. COCO-ID's V=38,732.
+Measured (v5e, R=1280, k=5): XLA fc+log_softmax+flat top_k 0.93 ms vs
+this kernel 1.40 ms at V=6,763, and 4.74 vs 5.30 ms at V=38,732 (COCO-ID)
+— the k sequential rowmax/insert rounds per vocab tile cost more VPU
+passes than the avoided logits round-trip saves, narrowing but not
+closing at larger V.  The engine therefore keeps the XLA head; the kernel
+remains as the exact, TPU-verified building block for a future merge
+scheme with fewer VPU passes (e.g. packed value-index single-pass
+extraction).
 """
 
 from __future__ import annotations
