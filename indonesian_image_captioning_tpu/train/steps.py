@@ -77,28 +77,40 @@ def prep_images(images_u8_chw):
 # Caption models
 # ---------------------------------------------------------------------------
 
-def make_encoders_fn(cfg: ModelConfig):
+def make_encoders_fn(cfg: ModelConfig, compute_dtype: str = "float32"):
     """Frozen encoder/tagger forwards as SEPARATE jitted programs.
 
     Two ResNet-152s in one XLA program (or fused with the decoder backward)
     multiplies compile time on this backend; splitting keeps each program
     small and the intermediates on device.  state is a jit ARGUMENT —
     closure capture would bake the weights into the HLO as constants.
+
+    compute_dtype="bfloat16" runs the frozen forwards in bf16 (1.85x on
+    v5e); outputs are returned in f32 for the decoder.
     """
+    dt = jnp.dtype(compute_dtype)
+
+    def cast(tree):
+        return jax.tree.map(
+            lambda x: x.astype(dt)
+            if jnp.issubdtype(x.dtype, jnp.floating) else x, tree)
 
     @jax.jit
     def run_encoder(state, images_u8):
-        images = prep_images(images_u8)
-        return encoders.apply_encoder_caption(
-            state["encoder"], state["encoder_stats"], images, train=False,
-            enc_image_size=cfg.enc_image_size, arch=cfg.encoder_arch)[0]
+        images = prep_images(images_u8).astype(dt)
+        out = encoders.apply_encoder_caption(
+            cast(state["encoder"]), cast(state["encoder_stats"]), images,
+            train=False, enc_image_size=cfg.enc_image_size,
+            arch=cfg.encoder_arch)[0]
+        return out.astype(jnp.float32)
 
     @jax.jit
     def run_tagger(state, images_u8):
-        images = prep_images(images_u8)
-        return encoders.apply_encoder_tagger(
-            state["tagger"], state["tagger_stats"], images, train=False,
-            arch=cfg.encoder_arch)[0]
+        images = prep_images(images_u8).astype(dt)
+        out = encoders.apply_encoder_tagger(
+            cast(state["tagger"]), cast(state["tagger_stats"]), images,
+            train=False, arch=cfg.encoder_arch)[0]
+        return out.astype(jnp.float32)
 
     def encode(state, batch):
         enc_out = run_encoder(state, batch["images"])

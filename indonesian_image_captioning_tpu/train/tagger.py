@@ -87,11 +87,24 @@ def main(data_cfg: DataConfig = DataConfig(),
         it = loader_lib.prefetch_to_device(loader_lib.iterate(
             train_ds, tcfg.batch_size, shuffle=True, seed=tcfg.seed,
             epoch=epoch))
+        pending = []
+
+        def flush():
+            import jax as _jax
+            for j, hm in zip([j for j, _ in pending],
+                             _jax.device_get([m for _, m in pending])):
+                printer.update(j, Loss=float(hm["loss"]),
+                               Accuracy=float(hm["acc"]))
+            pending.clear()
+
         for i, batch in enumerate(it):
             printer.data_loaded()
             rng = per_step(drop_key, epoch * n_train + i)
             state_box["state"], m = train_step(state_box["state"], batch, rng)
-            printer.update(i, Loss=float(m["loss"]), Accuracy=float(m["acc"]))
+            pending.append((i, m))
+            if i % tcfg.print_freq == 0:
+                flush()
+        flush()
         return {"loss": printer.avg("Loss")}
 
     def validate(epoch: int) -> float:
