@@ -35,12 +35,12 @@ def main():
     from indonesian_image_captioning_tpu.models import decoders
 
     V = 6763  # flickr8k-id vocab (reference corpus_score.py:110-118)
-    # bf16 params/activations (TPU-native serving precision), batch 256
+    # bf16 params/activations (TPU-native serving precision), batch 1024
     cfg = ModelConfig(model_type="attention_scn", vocab_size=V,
                       dtype="bfloat16")
     params = decoders.init_decoder(jax.random.key(0), cfg)
     params = jax.tree.map(lambda x: x.astype(jnp.bfloat16), params)
-    B = 256
+    B = 1024
     enc = (jax.random.normal(
         jax.random.key(1),
         (B, cfg.enc_image_size, cfg.enc_image_size, cfg.encoder_dim))
