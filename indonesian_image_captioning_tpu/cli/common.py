@@ -17,7 +17,7 @@ import jax
 
 from ..core import checkpoint as ckpt_lib
 from ..core.config import ModelConfig, TaggerConfig
-from ..models import convert, decoders, encoders
+from ..models import convert, encoders
 
 
 def _torch_load(path: str):

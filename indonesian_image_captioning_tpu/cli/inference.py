@@ -19,7 +19,6 @@ from ..core.tokens import END_TOKEN, PAD_ID, START_TOKEN
 from ..data import vocab as vocab_lib
 from ..data.preprocess import read_image
 from ..decode.api import caption_beam_search
-from ..models import decoders as decoders_lib
 from ..models import encoders
 from ..train.steps import prep_images
 from ..utils.url import download_file, is_absolute_path

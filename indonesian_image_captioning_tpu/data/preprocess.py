@@ -26,7 +26,7 @@ import json
 import os
 import random
 from collections import Counter
-from typing import Dict, List, Optional, Sequence
+from typing import Dict, List, Sequence
 
 import h5py
 import numpy as np

@@ -7,10 +7,9 @@ models/decoders/attention_scn.py:160-296) with one batched, jitted function.
 from __future__ import annotations
 
 import functools
-from typing import Dict, Optional
+from typing import Dict
 
 import jax
-import jax.numpy as jnp
 
 from ..core.config import BeamConfig, ModelConfig
 from ..models import decoders

@@ -7,7 +7,6 @@ handling, emissions) is identical to beam_size=1 beam search.
 
 from __future__ import annotations
 
-import dataclasses
 from typing import Dict
 
 import jax

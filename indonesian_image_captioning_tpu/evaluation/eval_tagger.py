@@ -8,8 +8,6 @@ per batch.
 
 from __future__ import annotations
 
-from typing import Dict
-
 import jax
 import numpy as np
 

@@ -15,8 +15,6 @@ default freezes the whole ResNet (trains/attention_scn.py:56,93-96).
 
 from __future__ import annotations
 
-from typing import Dict, Tuple
-
 import jax
 import jax.numpy as jnp
 

@@ -22,8 +22,6 @@ width (In = embed + 2048 = 2560).
 
 from __future__ import annotations
 
-import functools
-
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl

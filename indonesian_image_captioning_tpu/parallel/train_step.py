@@ -18,7 +18,7 @@ import jax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..core.config import ModelConfig, TrainConfig
-from ..core.meshes import DATA_AXIS, MODEL_AXIS
+from ..core.meshes import DATA_AXIS
 from ..train import steps as steps_lib
 from . import sharding as sh
 

@@ -14,8 +14,7 @@ gradient psum — there is no hand-written collective here.
 
 from __future__ import annotations
 
-import functools
-from typing import Any, Dict, Optional
+from typing import Any
 
 import jax
 import jax.numpy as jnp

@@ -12,7 +12,6 @@ import os
 from typing import Optional
 
 import jax
-import numpy as np
 
 from ..core import checkpoint as ckpt_lib
 from ..core.config import DataConfig, TaggerConfig, TrainConfig
