@@ -163,3 +163,31 @@ def test_emission_recording():
     tag = np.asarray(out["tag"][0][:n, 0])
     # emission at position t was produced with prev word = seq[t-1]
     np.testing.assert_array_equal(tag[1:], seq[:-1].astype(np.float32))
+
+
+def test_mixed_finish_times_and_step_cap():
+    """One batch row completes immediately, one never: the early row's
+    state must stay frozen while the other runs to the step cap."""
+    V, k = 8, 3
+    start, end = V - 2, V - 1
+
+    def step_fn(state, prev_words):
+        # row 0 always prefers <end>; row 1 never emits it
+        lp = jnp.full(prev_words.shape + (V,), -10.0)
+        lp = lp.at[0, :, end].set(-0.1)
+        lp = lp.at[0, :, 0].set(-5.0)
+        lp = lp.at[1, :, 1].set(-0.1)
+        lp = lp.at[1, :, end].set(-50.0)
+        return jax.nn.log_softmax(lp, -1), state, {}
+
+    out = beam_search(step_fn, {"h": jnp.zeros((2, k, 4))}, batch_size=2,
+                      beam_size=k, vocab_size=V, start_id=start, end_id=end,
+                      max_steps=11, seq_len=12)
+    # row 0: completed at step 1 (<start>, <end>)
+    assert int(out["lengths"][0]) == 2
+    assert int(out["completed_count"][0]) >= 1
+    assert int(out["sequences"][0][1]) == end
+    # row 1: never completed -> fallback live beam at the cap
+    assert int(out["completed_count"][1]) == 0
+    assert int(out["lengths"][1]) == 12
+    assert (np.asarray(out["sequences"][1][1:]) == 1).all()
