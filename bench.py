@@ -18,10 +18,111 @@ images through the jitted fixed-shape beam engine; the reference can only
 do one image at a time.
 """
 
+import argparse
 import json
 import time
 
 REFERENCE_CPU_CAPTIONS_PER_SEC = 0.0622  # measured, see BASELINE.md
+V5E_PEAK_BF16_FLOPS = 197e12             # TPU v5e peak bf16 FLOP/s
+
+
+def _compiled_flops(jitted, *args):
+    """XLA's own FLOP count for a compiled program (None if unavailable)."""
+    try:
+        cost = jitted.lower(*args).compile().cost_analysis()
+        if isinstance(cost, list):
+            cost = cost[0]
+        return float(cost["flops"])
+    except Exception:
+        return None
+
+
+def e2e_main():
+    """End-to-end serving: uint8 images -> ResNet-152 encode + tag ->
+    batched beam-5 decode.  Reports images/s/chip and encoder MFU."""
+    from indonesian_image_captioning_tpu.core import runtime
+    runtime.setup()
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from indonesian_image_captioning_tpu.core.config import (
+        BeamConfig, ModelConfig)
+    from indonesian_image_captioning_tpu.core.prng import root_key
+    from indonesian_image_captioning_tpu.decode.api import caption_beam_search
+    from indonesian_image_captioning_tpu.models import encoders
+    from indonesian_image_captioning_tpu.train import caption as caption_train
+    from indonesian_image_captioning_tpu.train import steps
+    from indonesian_image_captioning_tpu.train.steps import prep_images
+
+    V = 6763
+    cfg = ModelConfig(model_type="attention_scn", vocab_size=V,
+                      dtype="bfloat16")
+    opt = steps.make_optimizer(4e-4, 5.0)
+    state = caption_train.init_state(root_key(0), cfg, opt)
+    bf = jnp.bfloat16
+    cast = lambda t: jax.tree.map(
+        lambda x: x.astype(bf)
+        if jnp.issubdtype(x.dtype, jnp.floating) else x, t)
+    state = jax.device_put(cast(state))
+
+    B = 64
+    images = np.random.default_rng(0).integers(
+        0, 256, (B, 3, 256, 256), np.uint8)
+
+    @jax.jit
+    def encode(st, images_u8):
+        x = prep_images(images_u8).astype(bf)
+        return encoders.apply_encoder_caption(
+            st["encoder"], st["encoder_stats"], x, train=False,
+            enc_image_size=cfg.enc_image_size, arch=cfg.encoder_arch)[0]
+
+    @jax.jit
+    def tag(st, images_u8):
+        x = prep_images(images_u8).astype(bf)
+        return encoders.apply_encoder_tagger(
+            st["tagger"], st["tagger_stats"], x, train=False,
+            arch=cfg.encoder_arch)[0]
+
+    @jax.jit
+    def decode(st, enc_out, tags):
+        out = caption_beam_search(st["params"], cfg, enc_out, tags,
+                                  start_id=V - 2, end_id=V - 1,
+                                  beam_cfg=BeamConfig(beam_size=5))
+        return out["sequences"], out["lengths"]
+
+    def serve(images_u8):
+        enc_out = encode(state, images_u8)
+        tags = tag(state, images_u8)
+        return jax.device_get(decode(state, enc_out, tags)[1])
+
+    serve(images)  # compile + warm
+    n_iter = 3
+    t0 = time.time()
+    for _ in range(n_iter):
+        serve(images)
+    dt = (time.time() - t0) / n_iter
+    imgs_per_s = B / dt
+
+    # encoder-only throughput + MFU (XLA-counted FLOPs vs v5e bf16 peak)
+    jax.device_get(encode(state, images))
+    t0 = time.time()
+    for _ in range(5):
+        r = encode(state, images)
+    jax.device_get(r)
+    enc_dt = (time.time() - t0) / 5
+    enc_imgs_per_s = B / enc_dt
+    flops = _compiled_flops(encode, state, images)
+    enc_mfu = (flops / enc_dt) / V5E_PEAK_BF16_FLOPS if flops else None
+
+    print(json.dumps({
+        "metric": "e2e_images_per_sec_beam5",
+        "value": round(imgs_per_s, 3), "unit": "images/s",
+        "encoder_images_per_sec": round(enc_imgs_per_s, 1),
+        "encoder_gflops_per_image": round(flops / B / 1e9, 1) if flops
+        else None,
+        "encoder_mfu": round(enc_mfu, 4) if enc_mfu else None,
+        "batch": B,
+    }))
 
 
 def main():
@@ -77,4 +178,12 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--mode", choices=("decode", "e2e"), default="decode",
+                    help="decode = headline captions/s (driver default); "
+                         "e2e = uint8 image -> caption serving + MFU")
+    args = ap.parse_args()
+    if args.mode == "e2e":
+        e2e_main()
+    else:
+        main()

@@ -1,11 +1,15 @@
 """Shared CLI helpers: checkpoint format detection and model bundle loading.
 
-Accepts both checkpoint families:
+Accepts all three checkpoint families:
   * canonical orbax directories written by this framework's trainers
     ({"state": {...}, "epoch", ...});
   * reference torch serve-format files (.pth/.pth.tar state_dicts under
     encoder_model_state_dict / decoder_model_state_dict / model_state_dict,
-    inference.py:85-131).
+    inference.py:85-131);
+  * reference torch TRAINING-format files (whole pickled modules under
+    encoder / decoder, utils/checkpoint.py:20-31 — e.g. what
+    eval_tagger.py:24-25 consumes via ``checkpoint['encoder']``), loaded
+    with stubbed classes via models/torch_import.py.
 """
 
 from __future__ import annotations
@@ -21,8 +25,13 @@ from ..models import convert, encoders
 
 
 def _torch_load(path: str):
+    """torch.load with stubbed classes, so training-format pickles (whole
+    reference nn.Modules) load without the reference package installed."""
     import torch
-    return torch.load(path, map_location="cpu", weights_only=False)
+
+    from ..models.torch_import import _PickleShim
+    return torch.load(path, map_location="cpu", weights_only=False,
+                      pickle_module=_PickleShim)
 
 
 def load_caption_state(model_caption: str, cfg: ModelConfig,
@@ -35,10 +44,16 @@ def load_caption_state(model_caption: str, cfg: ModelConfig,
         state = restored["state"] if "state" in restored else restored
     else:
         ckpt = _torch_load(model_caption)
-        params = convert.decoder_from_torch(
-            ckpt["decoder_model_state_dict"], cfg)
+        if "decoder_model_state_dict" in ckpt:       # serve format (b)
+            dec_sd = ckpt["decoder_model_state_dict"]
+            enc_sd = ckpt["encoder_model_state_dict"]
+        else:                                        # training format (a)
+            from ..models.torch_import import extract_state_dict
+            dec_sd = extract_state_dict(ckpt["decoder"])
+            enc_sd = extract_state_dict(ckpt["encoder"])
+        params = convert.decoder_from_torch(dec_sd, cfg)
         enc_params, enc_stats = convert.encoder_caption_from_torch(
-            ckpt["encoder_model_state_dict"], arch=cfg.encoder_arch)
+            enc_sd, arch=cfg.encoder_arch)
         state = {"params": params, "encoder": enc_params,
                  "encoder_stats": enc_stats}
     if "tagger" not in state or model_tagger:
@@ -62,5 +77,11 @@ def load_tagger_state(model_tagger: str, arch: str = "resnet152") -> Tuple:
             return state["params"], state["stats"]
         return state["tagger"], state["tagger_stats"]
     ckpt = _torch_load(model_tagger)
-    sd = ckpt.get("model_state_dict", ckpt)
+    if "model_state_dict" in ckpt:
+        sd = ckpt["model_state_dict"]
+    elif "encoder" in ckpt:                          # training format (a)
+        from ..models.torch_import import extract_state_dict
+        sd = extract_state_dict(ckpt["encoder"])
+    else:
+        sd = ckpt
     return convert.encoder_tagger_from_torch(sd, arch=arch)

@@ -35,6 +35,14 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--fine_tune_encoder", action="store_true",
                    help="jointly fine-tune ResNet stages 2-4 (reference "
                         "fine_tune_encoder flag)")
+    p.add_argument("--mesh", default=None, metavar="D,M",
+                   help="device mesh as data,model axis sizes, e.g. 8,1 for "
+                        "pure DP or 4,2 for DP+vocab-sharded TP; default "
+                        "single device")
+    p.add_argument("--model_json", default=None,
+                   help="JSON dict (inline or a file path) of ModelConfig / "
+                        "TaggerConfig field overrides, e.g. "
+                        '\'{"embed_dim": 256, "encoder_arch": "resnet50"}\'')
     return p
 
 
@@ -44,6 +52,7 @@ def main(argv=None):
     args = build_parser().parse_args(argv)
     data_cfg = DataConfig(data_folder=args.data_folder,
                           data_name=args.data_name)
+    overrides = _load_model_json(args.model_json)
 
     if args.type in ("pure_scn", "attention_scn", "pure_attention"):
         tcfg = TrainConfig(checkpoint_dir=args.checkpoint_dir,
@@ -54,14 +63,28 @@ def main(argv=None):
         return caption.main(args.type, data_cfg, tcfg,
                             tagger_checkpoint=args.tagger_checkpoint,
                             encoder_init=args.encoder_init,
-                            resume=args.resume)
+                            resume=args.resume,
+                            model_overrides=overrides)
     # reference falls through to the tagger for any other --type
     tcfg = tagger_train_config(checkpoint_dir=args.checkpoint_dir,
                                seed=args.seed)
     tcfg = _override(tcfg, args)
+    from ..core.config import TaggerConfig
+    tagger_cfg = TaggerConfig(**overrides) if overrides else TaggerConfig()
     from ..train import tagger
-    return tagger.main(data_cfg, tcfg, encoder_init=args.encoder_init,
-                       resume=args.resume)
+    return tagger.main(data_cfg, tcfg, tagger_cfg,
+                       encoder_init=args.encoder_init, resume=args.resume)
+
+
+def _load_model_json(spec):
+    if not spec:
+        return None
+    import json
+    import os
+    if not spec.strip().startswith("{") and os.path.exists(spec):
+        with open(spec) as f:
+            return json.load(f)
+    return json.loads(spec)
 
 
 def _override(tcfg: TrainConfig, args) -> TrainConfig:
@@ -72,6 +95,14 @@ def _override(tcfg: TrainConfig, args) -> TrainConfig:
         kw["batch_size"] = args.batch_size
     if args.decoder_lr is not None:
         kw["decoder_lr"] = args.decoder_lr
+    if getattr(args, "mesh", None):
+        parts = tuple(int(x) for x in args.mesh.split(","))
+        if len(parts) == 1:
+            parts = (parts[0], 1)
+        if len(parts) != 2 or parts[0] < 1 or parts[1] < 1:
+            raise SystemExit(f"--mesh must be D or D,M with positive sizes, "
+                             f"got {args.mesh!r}")
+        kw["mesh_shape"] = parts
     return dataclasses.replace(tcfg, **kw) if kw else tcfg
 
 

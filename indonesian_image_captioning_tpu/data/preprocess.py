@@ -108,7 +108,7 @@ def read_image(path: str, size: int = 256) -> np.ndarray:
 def create_input_files(dataset: str, split_path: str, image_folder: str,
                        captions_per_image: int, min_word_freq: int,
                        output_folder: str, tag_size: int = 1000,
-                       max_len: int = 100,
+                       max_len: int = 50,
                        image_size: int = 256) -> Dict[str, str]:
     """Build all training artifacts; returns {artifact name: path}."""
     if dataset not in ALL_DATASETS:

@@ -107,17 +107,21 @@ def evaluate(state: Dict, cfg: ModelConfig, data_cfg: DataConfig,
     log(str(scores))
 
     if output_root:
-        # artifact layout parity: eval_caption.py:146-163
+        # artifact layout parity: eval_caption.py:146-163 — per-run dir with
+        # `{type}_beam_{k}_{references,hypotheses,scores}.json` files
         stamp = datetime.datetime.now().strftime("%Y%m%d-%H%M%S")
         out_dir = os.path.join(output_root, stamp)
         os.makedirs(out_dir, exist_ok=True)
+        base = f"{cfg.model_type}_beam_{beam_cfg.beam_size}"
         ref_strs = [[" ".join(r) for r in refs] for refs in references]
         transposed = [[refs[i] for refs in ref_strs]
                       for i in range(ds.cpi)]
-        with open(os.path.join(out_dir, "references.json"), "w") as f:
+        with open(os.path.join(out_dir, f"{base}_references.json"),
+                  "w") as f:
             json.dump(transposed, f)
-        with open(os.path.join(out_dir, "hypotheses.json"), "w") as f:
+        with open(os.path.join(out_dir, f"{base}_hypotheses.json"),
+                  "w") as f:
             json.dump([" ".join(h) for h in hypotheses], f)
-        with open(os.path.join(out_dir, "scores.json"), "w") as f:
+        with open(os.path.join(out_dir, f"{base}_scores.json"), "w") as f:
             json.dump(scores, f)
     return scores

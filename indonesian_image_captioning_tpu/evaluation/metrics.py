@@ -17,8 +17,13 @@ the metrics are implemented natively with the SAME definitions:
     (sigma=6), the pycocoevalcap CIDEr-D definition.  English-only in the
     reference README (:73-75) but available for any corpus here.
 
-METEOR requires the Java jar nlg-eval ships; it is intentionally not
-reimplemented (reference marks it English-only as well).
+  * ``meteor`` — nltk's WordNet-based METEOR (Lavie & Agarwal 2007),
+    averaged over the corpus.  nlg-eval scores METEOR with the METEOR-1.5
+    Java jar (English paraphrase tables); that jar is not in this image, so
+    exact-jar parity is waived (BASELINE.md) — nltk's exact+stem+wordnet
+    matcher is the closest pure-Python equivalent and is English-only in
+    practice, matching the reference README's English-only METEOR claim
+    (README.md:73-75).
 """
 
 from __future__ import annotations
@@ -203,13 +208,52 @@ def cider_d(list_of_references: List[List[Tokens]],
     return total / num
 
 
+class _EmptyWordnet:
+    """WordNet stand-in when the nltk corpus data is absent (zero-egress
+    image): the synonym-matching stage matches nothing, leaving nltk's
+    exact + Porter-stem stages — METEOR's language-independent core."""
+
+    @staticmethod
+    def synsets(word):
+        return []
+
+
+def _wordnet_or_empty():
+    try:
+        from nltk.corpus import wordnet
+        wordnet.synsets("dog")       # force the lazy corpus load
+        return wordnet
+    except LookupError:
+        return _EmptyWordnet()
+
+
+def meteor(list_of_references: List[List[Tokens]],
+           hypotheses: List[Tokens]) -> float:
+    """Corpus-mean nltk METEOR (exact/stem/synonym unigram alignment with
+    the fragmentation penalty, Lavie & Agarwal 2007 defaults).  Synonym
+    matching needs the WordNet corpus; without it the exact+stem stages
+    still run.  See the module docstring for the parity waiver vs
+    nlg-eval's METEOR-1.5 Java jar."""
+    from nltk.translate.meteor_score import meteor_score
+    if not hypotheses:
+        return 0.0
+    wn = _wordnet_or_empty()
+    total = 0.0
+    for refs, hyp in zip(list_of_references, hypotheses):
+        total += meteor_score([list(r) for r in refs], list(hyp), wordnet=wn)
+    return total / len(hypotheses)
+
+
 def compute_metrics(list_of_references: List[List[Tokens]],
                     hypotheses: List[Tokens],
-                    include_cider: bool = True) -> Dict[str, float]:
+                    include_cider: bool = True,
+                    include_meteor: bool = True) -> Dict[str, float]:
     """The nlg-eval-shaped score dict the reference dumps
-    (eval_caption.py:149-163)."""
+    (eval_caption.py:149-163): Bleu_1..4, METEOR, ROUGE_L, CIDEr."""
     bleus = corpus_bleu_coco(list_of_references, hypotheses)
     out = {f"Bleu_{i+1}": b for i, b in enumerate(bleus)}
+    if include_meteor:
+        out["METEOR"] = meteor(list_of_references, hypotheses)
     out["ROUGE_L"] = rouge_l_coco(list_of_references, hypotheses)
     if include_cider:
         out["CIDEr"] = cider_d(list_of_references, hypotheses)

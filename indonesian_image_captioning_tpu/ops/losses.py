@@ -30,11 +30,21 @@ def masked_cross_entropy(logits, targets, mask):
 
 
 def doubly_stochastic_penalty(alphas, mask, alpha_c: float):
-    """alpha_c * mean((1 - sum_t alpha)^2); alphas (B, T, P), mask (B, T)."""
+    """alpha_c * mean((1 - sum_t alpha)^2); alphas (B, T, P), mask (B, T).
+
+    Averaged over VALID rows only: the reference never sees padded rows
+    (its shrinking batch drops them, trains/attention_scn.py:143), whereas
+    our fixed-shape batches carry padding rows with an all-zero mask whose
+    alpha total is 0 — without the row weighting each would contribute a
+    constant (1-0)^2 = 1 and bias the loss on final partial batches.
+    """
     if alphas is None or alpha_c == 0.0:
         return jnp.asarray(0.0, jnp.float32)
     total = (alphas * mask[..., None]).sum(axis=1)        # (B, P)
-    return alpha_c * jnp.mean((1.0 - total) ** 2)
+    row_valid = (mask.sum(axis=1) > 0).astype(total.dtype)  # (B,)
+    per_row = ((1.0 - total) ** 2).mean(axis=1)           # (B,)
+    denom = jnp.maximum(row_valid.sum(), 1.0)
+    return alpha_c * (per_row * row_valid).sum() / denom
 
 
 def caption_loss(outputs, caps, alpha_c: float = 0.0):
@@ -55,11 +65,20 @@ def caption_loss(outputs, caps, alpha_c: float = 0.0):
     }
 
 
-def bce_loss(probs, targets, eps: float = 1e-7):
+def bce_loss(probs, targets, eps: float = 1e-7, row_valid=None):
     """Binary cross-entropy on probabilities (tagger outputs sigmoid scores,
-    reference trains/tagger.py uses nn.BCELoss with mean reduction)."""
+    reference trains/tagger.py uses nn.BCELoss with mean reduction).
+
+    row_valid (B,) masks out padded batch rows the fixed-shape loader adds
+    on the final partial batch — the reference never sees such rows.
+    """
     p = jnp.clip(probs, eps, 1.0 - eps)
-    return -jnp.mean(targets * jnp.log(p) + (1.0 - targets) * jnp.log1p(-p))
+    elem = -(targets * jnp.log(p) + (1.0 - targets) * jnp.log1p(-p))
+    if row_valid is None:
+        return jnp.mean(elem)
+    w = row_valid.astype(elem.dtype)
+    denom = jnp.maximum(w.sum() * elem.shape[1], 1.0)
+    return (elem * w[:, None]).sum() / denom
 
 
 def masked_topk_accuracy(logits, targets, mask, k: int = 5):

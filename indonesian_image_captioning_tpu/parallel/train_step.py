@@ -53,9 +53,10 @@ def make_parallel_caption_train_step(cfg: ModelConfig, tcfg: TrainConfig,
 
 def make_parallel_tagger_train_step(tcfg: TrainConfig, optimizer, mesh: Mesh,
                                     state_template, batch_template,
+                                    dropout_rate: float = 0.15,
                                     arch: str = "resnet152"):
-    base = steps_lib.make_tagger_train_step(tcfg, optimizer, arch=arch,
-                                            donate=False)
+    base = steps_lib.make_tagger_train_step(tcfg, optimizer, dropout_rate,
+                                            arch=arch, donate=False)
     state_sh = jax.tree.map(lambda _: sh.replicated(mesh), state_template)
     batch_sh = sh.batch_sharding_tree(mesh, batch_template)
     metric_sh = NamedSharding(mesh, P())

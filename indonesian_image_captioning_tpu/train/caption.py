@@ -80,6 +80,7 @@ def main(model_type: str,
          tagger_checkpoint: Optional[str] = None,
          encoder_init: Optional[str] = None,
          resume: bool = False,
+         model_overrides: Optional[Dict] = None,
          log=print):
     word_map = load_word_map(data_cfg)
     train_ds = CaptionDataset(data_cfg.data_folder, data_cfg.data_name, "TRAIN")
@@ -94,9 +95,36 @@ def main(model_type: str,
             log(f"semantic_dim set to {cfg.semantic_dim} from data")
     else:
         cfg = model_cfg
+    if model_overrides:
+        import dataclasses
+        cfg = dataclasses.replace(cfg, **model_overrides)
     if cfg.vocab_size != len(word_map):
         raise ValueError("model_cfg.vocab_size != wordmap size")
     start_id = word_map[START_TOKEN]
+
+    # -- parallelism: a (data, model) mesh when mesh_shape != (1, 1) --------
+    # Batches shard over "data" (DP); the vocab projection/embedding shard
+    # over "model" (TP) when the model axis is >1.  XLA inserts the psum /
+    # all-gather collectives over ICI; see parallel/sharding.py.
+    mesh, shard_vocab, batch_shard = None, False, None
+    if tuple(tcfg.mesh_shape) != (1, 1):
+        if tcfg.fine_tune_encoder:
+            raise NotImplementedError(
+                "fine_tune_encoder with a multi-chip mesh is not wired yet; "
+                "use the default frozen-encoder recipe for DP/TP training")
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        from ..core.meshes import DATA_AXIS, make_mesh
+        from ..parallel import sharding as sh
+        mesh = make_mesh(tuple(tcfg.mesh_shape))
+        data_par = tcfg.mesh_shape[0]
+        shard_vocab = tcfg.mesh_shape[1] > 1
+        if tcfg.batch_size % data_par:
+            raise ValueError(
+                f"batch_size {tcfg.batch_size} must be divisible by the "
+                f"data axis {data_par} of mesh {tcfg.mesh_shape}")
+
+        def batch_shard(ndim):
+            return NamedSharding(mesh, P(DATA_AXIS, *([None] * (ndim - 1))))
 
     optimizer = steps.make_optimizer(tcfg.decoder_lr, tcfg.grad_clip)
     key = root_key(tcfg.seed)
@@ -104,6 +132,12 @@ def main(model_type: str,
                        tagger_checkpoint=tagger_checkpoint,
                        encoder_init=encoder_init,
                        data_name=data_cfg.data_name)
+    if tcfg.fine_tune_encoder:
+        # enc_opt_state joins the state BEFORE resume so the checkpoint
+        # template includes it — otherwise resuming a fine-tune run would
+        # silently reset the encoder's Adam moments and decayed LR.
+        enc_optimizer = steps.make_optimizer(tcfg.encoder_lr, tcfg.grad_clip)
+        state["enc_opt_state"] = enc_optimizer.init(state["encoder"])
     start_epoch, stale, best = 0, 0, 0.0
     if resume:
         restored = ckpt_lib.load_checkpoint(
@@ -115,9 +149,17 @@ def main(model_type: str,
         stale = int(restored["epochs_since_improvement"])
         best = float(restored["metric"])
 
-    if tcfg.fine_tune_encoder:
-        enc_optimizer = steps.make_optimizer(tcfg.encoder_lr, tcfg.grad_clip)
-        state["enc_opt_state"] = enc_optimizer.init(state["encoder"])
+    if mesh is not None:
+        # place params/opt (vocab-sharded when model axis > 1) and the frozen
+        # encoder/tagger (replicated) onto the mesh, then build the SPMD step
+        state = sh.place_state(mesh, state, shard_vocab=shard_vocab)
+        from ..parallel.train_step import make_parallel_caption_train_step
+        encode_fn = steps.make_encoders_fn(cfg)
+        train_step = make_parallel_caption_train_step(
+            cfg, tcfg, optimizer, mesh,
+            {"params": state["params"], "opt_state": state["opt_state"]},
+            shard_vocab=shard_vocab)
+    elif tcfg.fine_tune_encoder:
         tagger_fn, finetune_step = steps.make_caption_finetune_train_step(
             cfg, tcfg, optimizer, enc_optimizer)
     else:
@@ -133,7 +175,7 @@ def main(model_type: str,
         printer = EpochPrinter("Epoch", epoch, n_train, tcfg.print_freq, log)
         it = loader_lib.prefetch_to_device(loader_lib.iterate(
             train_ds, tcfg.batch_size, shuffle=True, seed=tcfg.seed,
-            epoch=epoch))
+            epoch=epoch), sharding=batch_shard)
         # metrics stay on device between print boundaries: a per-step sync
         # serializes the remote dispatch pipeline (~2x step time)
         pending = []
@@ -176,7 +218,7 @@ def main(model_type: str,
         printer = EpochPrinter("Validation", epoch, n_val, tcfg.print_freq, log)
         references, hypotheses = [], []
         it = loader_lib.prefetch_to_device(loader_lib.iterate(
-            val_ds, tcfg.batch_size))
+            val_ds, tcfg.batch_size), sharding=batch_shard)
         for i, batch in enumerate(it):
             printer.data_loaded()
             st = state_box["state"]

@@ -28,6 +28,7 @@ def fit(tcfg: TrainConfig, *,
     """Run the reference epoch loop; returns final summary."""
     stale = epochs_since_improvement
     best = best_metric
+    train_stats: Dict[str, float] = {}
     for epoch in range(start_epoch, tcfg.epochs):
         log(f"Current epoch {epoch + 1}\n")
         if stale == tcfg.early_stop_stale:
@@ -49,7 +50,8 @@ def fit(tcfg: TrainConfig, *,
             f"(metric {metric:.4f}, best {best:.4f}, "
             f"epoch time {time.time() - t0:.1f}s)\n")
         save(epoch, stale, metric, is_best)
-    return {"best_metric": best, "epochs_since_improvement": stale}
+    return {"best_metric": best, "epochs_since_improvement": stale,
+            "train_loss": train_stats.get("loss", float("nan"))}
 
 
 class EpochPrinter:

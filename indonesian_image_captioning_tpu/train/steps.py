@@ -283,13 +283,14 @@ def make_tagger_train_step(tcfg: TrainConfig,
 
     def step(state, batch, rng):
         images = prep_images(batch["images"])
+        valid = batch.get("valid")
 
         def loss_fn(params):
             probs, new_stats = encoders.apply_encoder_tagger(
                 params, state["stats"], images, train=True, dropout_rng=rng,
                 dropout_rate=dropout_rate, arch=arch)
-            loss = losses.bce_loss(probs, batch["tags"])
-            acc = _binary_accuracy(probs, batch["tags"])
+            loss = losses.bce_loss(probs, batch["tags"], row_valid=valid)
+            acc = _binary_accuracy(probs, batch["tags"], row_valid=valid)
             return loss, (acc, new_stats)
 
         (loss, (acc, new_stats)), grads = jax.value_and_grad(
@@ -312,12 +313,20 @@ def make_tagger_eval_step(arch: str = "resnet152"):
         images = prep_images(batch["images"])
         probs, _ = encoders.apply_encoder_tagger(params, stats, images,
                                                  train=False, arch=arch)
-        return {"loss": losses.bce_loss(probs, batch["tags"]),
-                "acc": _binary_accuracy(probs, batch["tags"])}
+        valid = batch.get("valid")
+        return {"loss": losses.bce_loss(probs, batch["tags"],
+                                        row_valid=valid),
+                "acc": _binary_accuracy(probs, batch["tags"],
+                                        row_valid=valid)}
     return jax.jit(step)
 
 
-def _binary_accuracy(probs, targets):
-    pred = probs >= 0.5
-    true = targets >= 0.5
-    return jnp.mean((pred == true).astype(jnp.float32)) * 100.0
+def _binary_accuracy(probs, targets, row_valid=None):
+    """Mean elementwise binary accuracy (%), over valid rows only — padded
+    loader rows (all-zero images/tags) must not inflate the metric."""
+    correct = ((probs >= 0.5) == (targets >= 0.5)).astype(jnp.float32)
+    if row_valid is None:
+        return jnp.mean(correct) * 100.0
+    w = row_valid.astype(jnp.float32)
+    denom = jnp.maximum(w.sum() * correct.shape[1], 1.0)
+    return (correct * w[:, None]).sum() / denom * 100.0

@@ -72,8 +72,38 @@ def main(data_cfg: DataConfig = DataConfig(),
         stale = int(restored["epochs_since_improvement"])
         best = float(restored["metric"])
 
-    train_step = steps.make_tagger_train_step(
-        tcfg, optimizer, tagger_cfg.dropout, arch=tagger_cfg.encoder_arch)
+    # -- parallelism: shard batches over the mesh "data" axis (DP) ---------
+    mesh, batch_shard = None, None
+    if tuple(tcfg.mesh_shape) != (1, 1):
+        import numpy as np
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        from ..core.meshes import DATA_AXIS, make_mesh
+        from ..parallel import sharding as sh
+        from ..parallel.train_step import make_parallel_tagger_train_step
+        mesh = make_mesh(tuple(tcfg.mesh_shape))
+        if tcfg.batch_size % tcfg.mesh_shape[0]:
+            raise ValueError(
+                f"batch_size {tcfg.batch_size} must be divisible by the "
+                f"data axis {tcfg.mesh_shape[0]} of mesh {tcfg.mesh_shape}")
+
+        def batch_shard(ndim):
+            return NamedSharding(mesh, P(DATA_AXIS, *([None] * (ndim - 1))))
+
+        state = jax.device_put(
+            state, jax.tree.map(lambda _: sh.replicated(mesh), state))
+        B = tcfg.batch_size
+        batch_template = {
+            "images": np.zeros((B, 3, data_cfg.image_size,
+                                data_cfg.image_size), np.uint8),
+            "tags": np.zeros((B, tagger_cfg.semantic_size), np.float32),
+            "valid": np.zeros((B,), np.float32),
+        }
+        train_step = make_parallel_tagger_train_step(
+            tcfg, optimizer, mesh, state, batch_template,
+            dropout_rate=tagger_cfg.dropout, arch=tagger_cfg.encoder_arch)
+    else:
+        train_step = steps.make_tagger_train_step(
+            tcfg, optimizer, tagger_cfg.dropout, arch=tagger_cfg.encoder_arch)
     eval_step = steps.make_tagger_eval_step(arch=tagger_cfg.encoder_arch)
     drop_key = stream(key, "tagger_dropout")
     n_train = loader_lib.num_batches(len(train_ds), tcfg.batch_size)
@@ -85,7 +115,7 @@ def main(data_cfg: DataConfig = DataConfig(),
         printer = EpochPrinter("Epoch", epoch, n_train, tcfg.print_freq, log)
         it = loader_lib.prefetch_to_device(loader_lib.iterate(
             train_ds, tcfg.batch_size, shuffle=True, seed=tcfg.seed,
-            epoch=epoch))
+            epoch=epoch), sharding=batch_shard)
         pending = []
 
         def flush():
@@ -109,7 +139,7 @@ def main(data_cfg: DataConfig = DataConfig(),
     def validate(epoch: int) -> float:
         printer = EpochPrinter("Validation", epoch, n_val, tcfg.print_freq, log)
         it = loader_lib.prefetch_to_device(loader_lib.iterate(
-            val_ds, tcfg.batch_size))
+            val_ds, tcfg.batch_size), sharding=batch_shard)
         for i, batch in enumerate(it):
             printer.data_loaded()
             m = eval_step(state_box["state"]["params"],

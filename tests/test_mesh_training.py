@@ -1,0 +1,99 @@
+"""DP/TP training through the PUBLIC surface (round-1 VERDICT task 2).
+
+``python train.py -t attention_scn --mesh 8,1`` (and 4,2 with vocab-sharded
+TP) must train end-to-end on the 8-device CPU mesh — mesh construction,
+state placement, loader sharding hook and SPMD step all reached from the
+CLI, not from test-private wiring.
+"""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from indonesian_image_captioning_tpu.data.synthetic import (
+    make_synthetic_corpus)
+
+
+@pytest.fixture(scope="module")
+def corpus(tmp_path_factory):
+    root = tmp_path_factory.mktemp("mesh_corpus")
+    out = tmp_path_factory.mktemp("mesh_scn_data")
+    return make_synthetic_corpus(str(root), str(out), n_images=16,
+                                 n_train=12, image_size=32)
+
+
+TINY = {"embed_dim": 16, "attention_dim": 16, "decoder_dim": 16,
+        "factored_dim": 12, "enc_image_size": 2, "max_caption_len": 12,
+        "encoder_arch": "resnet50"}
+
+
+@pytest.mark.parametrize("mesh", ["8,1", "4,2"])
+def test_cli_caption_training_on_mesh(corpus, tmp_path, mesh):
+    from indonesian_image_captioning_tpu.cli import train as cli_train
+
+    ckpt = tmp_path / mesh.replace(",", "x")
+    ckpt.mkdir()
+    state, summary = cli_train.main([
+        "-t", "attention_scn",
+        "--data_folder", corpus.data_folder,
+        "--data_name", corpus.data_name,
+        "--mesh", mesh,
+        "--epochs", "1", "--batch_size", "8",
+        "--checkpoint_dir", str(ckpt),
+        "--model_json", json.dumps(TINY),
+    ])
+    assert np.isfinite(summary["train_loss"])
+    name = f"checkpoint_attention_scn_{corpus.data_name}"
+    assert os.path.isdir(ckpt / name)
+    # params came back usable (vocab-sharded for 4,2): finite and fetchable
+    fc_w = np.asarray(state["params"]["fc"]["w"])
+    assert np.isfinite(fc_w).all()
+
+
+def test_cli_tagger_training_on_mesh(corpus, tmp_path):
+    from indonesian_image_captioning_tpu.cli import train as cli_train
+
+    state, summary = cli_train.main([
+        "-t", "image_tagger",
+        "--data_folder", corpus.data_folder,
+        "--data_name", corpus.data_name,
+        "--mesh", "8,1",
+        "--epochs", "1", "--batch_size", "8",
+        "--checkpoint_dir", str(tmp_path),
+        "--model_json", json.dumps({"encoder_arch": "resnet50"}),
+    ])
+    assert np.isfinite(summary["train_loss"])
+    assert os.path.isdir(tmp_path / f"checkpoint_tagger_{corpus.data_name}")
+
+
+def test_mesh_dp_matches_single_device(corpus, tmp_path):
+    """One DP epoch == one single-device epoch, numerically (same seed,
+    same batches; psum gradient reduction must be a no-op semantically)."""
+    from indonesian_image_captioning_tpu.core.config import (
+        ModelConfig, TrainConfig)
+    from indonesian_image_captioning_tpu.data import vocab as vocab_lib
+    from indonesian_image_captioning_tpu.train import caption as caption_train
+
+    wm = vocab_lib.load_json(vocab_lib.wordmap_path(
+        corpus.data_folder, corpus.data_name))
+    cfg = ModelConfig(model_type="pure_scn", vocab_size=len(wm),
+                      semantic_dim=2, **{k: v for k, v in TINY.items()
+                                         if k != "attention_dim"},
+                      attention_dim=16)
+
+    def run(mesh_shape, subdir):
+        tcfg = TrainConfig(epochs=1, batch_size=8, print_freq=1,
+                           mesh_shape=mesh_shape,
+                           checkpoint_dir=str(tmp_path / subdir))
+        os.makedirs(tcfg.checkpoint_dir, exist_ok=True)
+        state, _ = caption_train.main("pure_scn", corpus, tcfg,
+                                      model_cfg=cfg)
+        return state
+
+    s_single = run((1, 1), "single")
+    s_mesh = run((8, 1), "mesh")
+    a = np.asarray(s_single["params"]["fc"]["w"])
+    b = np.asarray(s_mesh["params"]["fc"]["w"])
+    np.testing.assert_allclose(a, b, rtol=2e-4, atol=2e-5)

@@ -83,10 +83,23 @@ def test_cider_identical_corpus_positive():
 
 
 def test_compute_metrics_keys():
+    """scores.json key layout matches nlg-eval's compute_metrics naming
+    (reference eval_caption.py:149-163)."""
     refs, hyps = corpora(3)
     out = M.compute_metrics(refs, hyps, include_cider=True)
-    assert set(out) == {"Bleu_1", "Bleu_2", "Bleu_3", "Bleu_4", "ROUGE_L",
-                        "CIDEr"}
+    assert set(out) == {"Bleu_1", "Bleu_2", "Bleu_3", "Bleu_4", "METEOR",
+                        "ROUGE_L", "CIDEr"}
+    assert all(0.0 <= v <= 10.0 for v in out.values())
+
+
+def test_meteor_sanity():
+    refs = [[["the", "cat", "sat", "on", "the", "mat"]],
+            [["a", "dog", "runs"]]]
+    perfect = [["the", "cat", "sat", "on", "the", "mat"], ["a", "dog", "runs"]]
+    assert M.meteor(refs, perfect) > 0.95
+    worse = [["the", "mat", "sat", "on", "the", "cat"], ["a", "dog", "runs"]]
+    assert M.meteor(refs, worse) < M.meteor(refs, perfect)
+    assert M.meteor([], []) == 0.0
 
 
 def test_eval_tagger_and_caption_end_to_end(tmp_path):
@@ -144,8 +157,11 @@ def test_eval_tagger_and_caption_end_to_end(tmp_path):
     assert 0.0 <= scores["Bleu_4"] <= 1.0
     dumps = list((tmp_path / "evalout").iterdir())
     assert len(dumps) == 1
+    # filename parity with the reference dumps (eval_caption.py:151-163)
     assert {p.name for p in dumps[0].iterdir()} == {
-        "references.json", "hypotheses.json", "scores.json"}
+        "attention_scn_beam_3_references.json",
+        "attention_scn_beam_3_hypotheses.json",
+        "attention_scn_beam_3_scores.json"}
 
     acc = eval_tagger.evaluate(state["tagger"], state["tagger_stats"],
                                data_cfg, batch_size=2, arch="resnet50",
