@@ -39,12 +39,25 @@ class ModelConfig:
     # default; smaller variants for tests/smoke runs).
     encoder_arch: str = "resnet152"
     # Use the fused Pallas SCN decode-step kernel (ops/scn_pallas.py) in
-    # beam search instead of the XLA step (TPU only; ~12% faster per step).
+    # beam search instead of the XLA step.  Measured SLOWER than XLA at
+    # flagship dims (1.7-2.4 vs 1.2-1.3 ms/step, B=1024/bf16/v5e) — XLA's
+    # fusion of the 4 fused matmuls is already near its roofline.  Opt-in.
     fused_cell: bool = False
     # Use the fused Pallas additive-attention kernel
-    # (ops/attention_pallas.py) in beam search — avoids materialising the
-    # (B, K, P, A) relu intermediate; the dominant decode cost in XLA.
+    # (ops/attention_pallas.py) in beam search.  Exact, but measured SLOWER
+    # than XLA's fused attend at flagship dims (5.7 vs 2.4 ms/step,
+    # B=1024/bf16/v5e) — XLA already avoids the (B, K, P, A) HBM round
+    # trip.  Kept opt-in; see ops/attention_pallas.py for measurements.
     fused_attention: bool = False
+    # Sparse beam head: per-lane top-k of the logprobs feeds the beam's flat
+    # merge K*k candidates instead of the K*V dense table (decode/beam.py
+    # module docstring proves exactness, ties included).  Isolated it beats
+    # the dense head (1.77 vs 2.36 ms/step at B=1024/V=6763/bf16 on v5e),
+    # but inside the 51-step while_loop the per-row top_k lowering loses the
+    # fusion the dense flat top_k gets (full decode 348 vs 294 ms/batch at
+    # V=6,763; 755 vs 742 at COCO-ID V=38,732) — the DENSE head stays
+    # default at both vocab scales.
+    sparse_head: bool = False
 
     @property
     def num_pixels(self) -> int:

@@ -27,6 +27,17 @@ The engine is model-agnostic: a decoder supplies ``step_fn(state, prev_words)
 -> (logprobs (B,K,V), new_state, emit)`` where ``emit`` maps names to
 per-step (B, K, ...) arrays to be recorded per position (e.g. attention
 alphas for visualisation).
+
+**Sparse head mode** (the TPU throughput win, default for the caption
+models): instead of a dense (B, K, V) logprob table the step supplies
+``(cand_vals (B, K, k), cand_ids (B, K, k))`` — each lane's top-k logprobs
+and their vocab ids.  The flat top-k then merges K*k candidates instead of
+K*V.  This is EXACT, ties included: at most k flat winners can come from
+one lane, per-lane top-k of logits equals per-lane top-k of logprobs (the
+logsumexp is a monotone per-row shift), per-row ``lax.top_k`` orders equal
+values by vocab index (the dense flat tie-break within a lane), and the
+(K, k) flat merge keeps lanes in lane-major order (the dense tie-break
+across lanes).
 """
 
 from __future__ import annotations
@@ -108,14 +119,27 @@ def beam_search(
         step = c["step"]
         active = c["alive_count"] > 0                      # (B,)
 
-        logprobs, new_state, emit = step_fn(c["state"], c["prev_words"])
-        cand = c["scores"][:, :, None] + logprobs          # (B, K, V)
-        cand = jnp.maximum(cand, NEG_INF)                  # clamp dead lanes
-        cand = jnp.where(c["scores"][:, :, None] <= NEG_INF, NEG_INF, cand)
-
-        top_vals, top_idx = jax.lax.top_k(cand.reshape(B, K * V), K)
-        prev_lane = top_idx // V                           # (B, K)
-        next_word = top_idx % V
+        head, new_state, emit = step_fn(c["state"], c["prev_words"])
+        if isinstance(head, tuple):
+            # sparse head: per-lane top-k candidates (see module docstring)
+            cand_vals, cand_ids = head                     # (B, K, kc)
+            kc = cand_vals.shape[-1]
+            cand = c["scores"][:, :, None] + cand_vals     # (B, K, kc)
+            cand = jnp.maximum(cand, NEG_INF)
+            cand = jnp.where(c["scores"][:, :, None] <= NEG_INF, NEG_INF,
+                             cand)
+            top_vals, flat_idx = jax.lax.top_k(cand.reshape(B, K * kc), K)
+            prev_lane = flat_idx // kc                     # (B, K)
+            next_word = jnp.take_along_axis(
+                cand_ids.reshape(B, K * kc), flat_idx, axis=1)
+        else:
+            cand = c["scores"][:, :, None] + head          # (B, K, V)
+            cand = jnp.maximum(cand, NEG_INF)              # clamp dead lanes
+            cand = jnp.where(c["scores"][:, :, None] <= NEG_INF, NEG_INF,
+                             cand)
+            top_vals, top_idx = jax.lax.top_k(cand.reshape(B, K * V), K)
+            prev_lane = top_idx // V                       # (B, K)
+            next_word = top_idx % V
 
         valid = (rank[None, :] < c["alive_count"][:, None]) \
             & (top_vals > NEG_INF) & active[:, None]

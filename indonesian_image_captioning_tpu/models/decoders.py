@@ -255,6 +255,17 @@ def make_beam_step(params, cfg: ModelConfig, enc, tags):
             else:
                 h, c = scn_apply(scn_cell.input_factor(cell, emb), h, c)
         logits = linear(params["fc"], h)                # (B, K, V)
+        if cfg.sparse_head:
+            # Per-lane top-k candidates for the beam's sparse merge
+            # (decode/beam.py): K winners per lane suffice because at most
+            # K flat winners can come from one lane.  The shifted values
+            # replicate log_softmax's exact float ops ((x - m) - log s) so
+            # the scores are bitwise identical to the dense path.
+            B, K, V = logits.shape
+            flat = jax.nn.log_softmax(logits.reshape(B * K, V), axis=-1)
+            topv, topi = jax.lax.top_k(flat, K)         # (B*K, K)
+            return (topv.reshape(B, K, K), topi.reshape(B, K, K)), \
+                {"h": h, "c": c}, emit
         logprobs = jax.nn.log_softmax(logits, axis=-1)
         return logprobs, {"h": h, "c": c}, emit
 

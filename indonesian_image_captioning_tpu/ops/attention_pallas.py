@@ -1,12 +1,18 @@
-"""Pallas TPU kernel: fused additive (Bahdanau) attention step.
+"""Pallas TPU kernels: fused additive (Bahdanau) attention step.
 
 The decode-time hot spot (reference models/attention.py:6-44 runs this per
-beam step; models/decoders/attention_scn.py:217-290): XLA materialises the
-(B, K, P, A) relu pre-activation in HBM — at bench dims (B=1024, K=5,
-P=196, A=512, bf16) that is ~1 GB written + re-read EVERY decode step, plus
-a second full read of the (B, P, E) encoder output for the weighted sum.
+beam step; models/decoders/attention_scn.py:217-290).
 
-This kernel computes the whole attention step per image tile in VMEM:
+**Measured verdict (v5e, B=1024, K=5, P=196, A=512, E=2048, bf16,
+on-device fori_loop timing)**: XLA's fusion already keeps the (B, K, P, A)
+relu pre-activation out of HBM and runs the step in ~2.4 ms; these kernels
+are exact but slower (~5.7 ms standard layout across G=1/2/4 image tiles,
+~7.5 ms transposed layout) — the VPU relu+reduce work dominates and XLA's
+codegen for it beats both hand layouts here.  They therefore stay OPT-IN
+(``ModelConfig.fused_attention=False`` default) as exact, tested building
+blocks; the honest win at these dims is XLA.
+
+Each kernel computes the whole attention step per image tile in VMEM:
 
     att[k, p] = w_full . relu(enc_att[p] + dec[k]) + b_full
     alpha     = softmax_p(att)
@@ -47,15 +53,19 @@ def _round_up(x: int, m: int) -> int:
 
 def _make_kernel(G: int, K: int, P_actual: int):
     def kernel(enc_ref, enc_att_ref, dec_ref, wf_ref, awe_ref, alpha_ref):
-        wf = wf_ref[:]                                     # (1, A) f32
+        # ALL elementwise work (including the lane reduce) runs in the INPUT
+        # dtype — bf16 is packed 2x on the VPU, and an f32 accumulator here
+        # would upcast the whole (Pp, A) slab (measured 2x slower).  The
+        # softmax below runs f32.
+        wf = wf_ref[:].astype(enc_att_ref.dtype)           # (1, A)
         for g in range(G):
-            ea = enc_att_ref[g].astype(jnp.float32)        # (Pp, A)
-            dk = dec_ref[g].astype(jnp.float32)            # (K, A)
+            ea = enc_att_ref[g]                            # (Pp, A)
+            dk = dec_ref[g]                                # (K, A)
             cols = []
             for k in range(K):
-                e = jnp.maximum(ea + dk[k:k + 1, :], 0.0)  # (Pp, A)
+                e = jnp.maximum(ea + dk[k:k + 1, :], 0)    # (Pp, A)
                 cols.append(jnp.sum(e * wf, axis=1, keepdims=True))
-            att = jnp.concatenate(cols, axis=1)            # (Pp, K)
+            att = jnp.concatenate(cols, axis=1).astype(jnp.float32)
             Pp = att.shape[0]
             if P_actual < Pp:
                 rows = jax.lax.broadcasted_iota(jnp.int32, (Pp, K), 0)
@@ -64,9 +74,9 @@ def _make_kernel(G: int, K: int, P_actual: int):
             ex = jnp.exp(att - m)
             s = jnp.sum(ex, axis=0, keepdims=True)
             alpha = ex / s                                 # (Pp, K) f32
-            enc_g = enc_ref[g].astype(jnp.float32)         # (Pp, E)
             awe = jax.lax.dot_general(
-                alpha, enc_g, (((0,), (0,)), ((), ())),
+                alpha.astype(enc_ref.dtype), enc_ref[g],
+                (((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32)        # (K, E) MXU
             awe_ref[g] = awe.astype(awe_ref.dtype)
             alpha_ref[g] = alpha.T.astype(alpha_ref.dtype)
@@ -139,4 +149,107 @@ def attend_fused(att_params, enc, enc_att, h, *, interpret=None,
                    jax.ShapeDtypeStruct((B, K, Pp), enc3.dtype)),
         interpret=interpret,
     )(enc3, enc_att3, dec.astype(enc3.dtype), wf)
+    return awe, alpha[:, :, :P]
+
+
+# ---------------------------------------------------------------------------
+# Transposed-layout variant: positions on LANES, attention dim on sublanes.
+# The per-k reduction over A becomes a SUBLANE reduce (cheaper than the
+# cross-lane reduce of the layout above), att/alpha are produced directly
+# in their (K, P) output layout, and the weighted sum is a plain
+# (K, Pp) x (Pp, E) MXU matmul.
+# ---------------------------------------------------------------------------
+
+def _make_kernel_t(G: int, K: int, P_actual: int):
+    def kernel(enc_ref, ea_t_ref, dec_t_ref, wf_ref, awe_ref, alpha_ref):
+        wf = wf_ref[:].astype(ea_t_ref.dtype)              # (A, 1)
+        for g in range(G):
+            ea_t = ea_t_ref[g]                             # (A, Pp)
+            dec_t = dec_t_ref[g]                           # (A, K)
+            rows = []
+            for k in range(K):
+                e = jnp.maximum(ea_t + dec_t[:, k:k + 1], 0)   # (A, Pp)
+                rows.append(jnp.sum(e * wf, axis=0, keepdims=True,
+                                    dtype=jnp.float32))    # (1, Pp)
+            att = jnp.concatenate(rows, axis=0)            # (K, Pp) f32
+            Pp = att.shape[1]
+            if P_actual < Pp:
+                cols = jax.lax.broadcasted_iota(jnp.int32, (K, Pp), 1)
+                att = jnp.where(cols < P_actual, att, NEG_INF)
+            m = jnp.max(att, axis=1, keepdims=True)        # (K, 1)
+            ex = jnp.exp(att - m)
+            s = jnp.sum(ex, axis=1, keepdims=True)
+            alpha = ex / s                                 # (K, Pp) f32
+            awe = jnp.dot(alpha.astype(enc_ref.dtype), enc_ref[g],
+                          preferred_element_type=jnp.float32)  # (K, E)
+            awe_ref[g] = awe.astype(awe_ref.dtype)
+            alpha_ref[g] = alpha.astype(alpha_ref.dtype)
+
+    return kernel
+
+
+def precompute_transposed(att_params, enc_flat):
+    """Loop-invariant (B, A, P) encoder projection for attend_fused_t —
+    computed ONCE per decode outside the step (models/decoders.py)."""
+    from ..models import attention as attn
+    return jnp.swapaxes(attn.precompute(att_params, enc_flat), -1, -2)
+
+
+def attend_fused_t(att_params, enc, enc_att_t, h, *, interpret=None,
+                   img_tile: int = 0):
+    """Transposed-layout fused attention step.
+
+    enc:       (B, 1, P, E) or (B, P, E) encoder output
+    enc_att_t: (B, A, P) from :func:`precompute_transposed`
+    h:         (B, K, D)
+    Returns (awe (B, K, E), alpha (B, K, P)).
+    """
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    B, K, _ = h.shape
+    enc3 = enc[:, 0] if enc.ndim == 4 else enc             # (B, P, E)
+    P, E = enc3.shape[-2:]
+    A = enc_att_t.shape[-2]
+    Pp = _round_up(max(P, 128), 128)                       # lane-align
+
+    if img_tile <= 0:
+        per_img = Pp * (E + A) * enc3.dtype.itemsize
+        img_tile = max(1, (8 << 20) // (2 * per_img))
+    G = img_tile
+    while B % G:
+        G -= 1
+
+    dec_t = jnp.swapaxes(
+        h @ att_params["decoder_att"]["w"]
+        + att_params["decoder_att"]["b"], -1, -2)          # (B, A, K)
+    wf = att_params["full_att"]["w"].astype(jnp.float32)   # (A, 1)
+
+    if Pp != P:
+        enc3 = jnp.pad(enc3, ((0, 0), (0, Pp - P), (0, 0)))
+        enc_att_t = jnp.pad(enc_att_t, ((0, 0), (0, 0), (0, Pp - P)))
+
+    kernel = _make_kernel_t(G, K, P)
+    awe, alpha = pl.pallas_call(
+        kernel,
+        grid=(B // G,),
+        in_specs=[
+            pl.BlockSpec((G, Pp, E), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((G, A, Pp), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((G, A, K), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((A, 1), lambda b: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((G, K, E), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((G, K, Pp), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(jax.ShapeDtypeStruct((B, K, E), enc3.dtype),
+                   jax.ShapeDtypeStruct((B, K, Pp), enc3.dtype)),
+        interpret=interpret,
+    )(enc3, enc_att_t.astype(enc3.dtype), dec_t.astype(enc3.dtype), wf)
     return awe, alpha[:, :, :P]

@@ -20,20 +20,26 @@ logsumexp.  The caller turns these into exact flat beam candidates:
 per-lane top-k of logits == per-lane top-k of logprobs (the logsumexp is a
 per-row monotone shift), and at most k flat winners can come from one lane,
 so candidates = lane_score + top_v - lse over K*k entries reproduce the
-dense flat top-k exactly (decode/beam.py sparse mode).
+dense flat top-k exactly.
+
+That sparse-candidate beam mode EXISTS: ``ModelConfig.sparse_head`` routes
+``decode/beam.py`` through per-lane candidates (see its module docstring
+for the exactness argument).  Its production backend is XLA per-row
+``lax.top_k`` rather than this kernel, per measurement.
 
 Tie-break note: insertion uses count(tv >= v) so equal values keep the
 earlier (lower vocab index / earlier lane) entry first — matching
 ``lax.top_k``'s first-occurrence order.
 
-Measured (v5e, R=1280, k=5): XLA fc+log_softmax+flat top_k 0.93 ms vs
-this kernel 1.40 ms at V=6,763, and 4.74 vs 5.30 ms at V=38,732 (COCO-ID)
-— the k sequential rowmax/insert rounds per vocab tile cost more VPU
-passes than the avoided logits round-trip saves, narrowing but not
-closing at larger V.  The engine therefore keeps the XLA head; the kernel
-remains as the exact, TPU-verified building block for a future merge
-scheme with fewer VPU passes (e.g. packed value-index single-pass
-extraction).
+Measured (v5e, B=1024, K=k=5, bf16, on-device fori_loop): per decode step
+at V=6,763 the XLA dense head (fc+log_softmax+flat top_k) takes 2.36 ms,
+the XLA per-row-top_k sparse head 1.77 ms, and this kernel + sparse merge
+4.10 ms — the k sequential rowmax/insert rounds per vocab tile cost more
+VPU passes than the avoided logits round-trip saves.  Inside the full
+51-step beam while_loop even the XLA sparse head loses to dense
+(348 vs 294 ms/batch) because the flat top_k fuses better there, so the
+dense head is the default at flickr vocab; this kernel remains the exact,
+TPU-verified building block.
 """
 
 from __future__ import annotations

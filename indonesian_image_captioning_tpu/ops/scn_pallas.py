@@ -18,6 +18,9 @@ The cheap elementwise LSTM epilogue (sigmoid/tanh/cell update) runs in XLA
 where it fuses into the surrounding program for free.  Splitting by gate
 keeps VMEM well under the 16 MB budget even at the attention_scn input
 width (In = embed + 2048 = 2560).
+
+Measured (v5e, B=1024, K=5, bf16, on-device fori_loop): XLA step 1.2-1.3
+ms vs this kernel 1.7-2.4 ms — XLA stays default (ModelConfig.fused_cell).
 """
 
 from __future__ import annotations

@@ -24,7 +24,7 @@ import numpy as np
 from PIL import Image
 
 
-def build_corpus(root, img_dir, n_per_class=24):
+def build_corpus(root, img_dir, n_per_class=24, image_size=64):
     rng = np.random.default_rng(0)
     classes = {
         "merah": (200, 30, 30),
@@ -41,7 +41,7 @@ def build_corpus(root, img_dir, n_per_class=24):
     for cname, rgb in classes.items():
         for _ in range(n_per_class):
             name = f"{i:04d}.jpg"
-            img = np.full((64, 64, 3), rgb, np.uint8)
+            img = np.full((image_size, image_size, 3), rgb, np.uint8)
             img = np.clip(img.astype(np.int16)
                           + rng.integers(-25, 25, img.shape), 0, 255)
             Image.fromarray(img.astype(np.uint8)).save(img_dir / name)
@@ -66,6 +66,7 @@ def build_corpus(root, img_dir, n_per_class=24):
 
 
 def main():
+    import argparse
     from pathlib import Path
     from indonesian_image_captioning_tpu.core import runtime
     runtime.setup()
@@ -75,44 +76,66 @@ def main():
     from indonesian_image_captioning_tpu.data import preprocess, vocab
     from indonesian_image_captioning_tpu.train import caption, tagger
 
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--flagship", action="store_true",
+                    help="run at the REFERENCE flagship config: 256px "
+                         "images, ResNet-152 encoders, 14x14x2048 features, "
+                         "emb/att/dec/factor = 512, semantic width 1000, "
+                         "max caption length 52 (recipe "
+                         "trains/attention_scn.py:31-51)")
+    args = ap.parse_args()
+    fl = args.flagship
+
     tmp = Path(tempfile.mkdtemp(prefix="learnability_"))
     root = tmp / "corpus"
     img_dir = root / "imgs"
     img_dir.mkdir(parents=True)
     out = tmp / "scn_data"
-    build_corpus(root, img_dir)
+    image_size = 256 if fl else 64
+    tag_size = 1000 if fl else 3    # flagship: full 1000-concept vector
+    build_corpus(root, img_dir, n_per_class=48 if fl else 24,
+                 image_size=image_size)
     preprocess.create_input_files(
         "flickr10k", str(root), str(img_dir), captions_per_image=2,
-        min_word_freq=0, output_folder=str(out), tag_size=3, max_len=10,
-        image_size=64)
+        min_word_freq=0, output_folder=str(out), tag_size=tag_size,
+        max_len=50 if fl else 10, image_size=image_size)
     data_cfg = DataConfig(data_folder=str(out),
                           data_name="flickr10k_2_cap_per_img_0_min_word_freq")
     wm = vocab.load_json(vocab.wordmap_path(str(out), data_cfg.data_name))
 
+    arch = "resnet152" if fl else "resnet50"
     # 1) tagger: should reach high accuracy (colour is linearly separable)
     tag_tcfg = tagger_train_config(epochs=4, batch_size=8, print_freq=100,
                                    checkpoint_dir=str(tmp / "ck"),
                                    decoder_lr=1e-3)
     _, tag_summary = tagger.main(
         data_cfg, tag_tcfg,
-        TaggerConfig(semantic_size=3, encoder_arch="resnet50"),
+        TaggerConfig(semantic_size=tag_size, encoder_arch=arch),
         log=lambda s: None)
     print(f"tagger best accuracy: {tag_summary['best_metric']:.2f}%")
 
     # 2) attention_scn captioning
-    cfg = ModelConfig(model_type="attention_scn", vocab_size=len(wm),
-                      embed_dim=64, attention_dim=64, decoder_dim=64,
-                      factored_dim=32, semantic_dim=3, enc_image_size=2,
-                      max_caption_len=12, encoder_arch="resnet50")
+    if fl:
+        cfg = ModelConfig(model_type="attention_scn", vocab_size=len(wm),
+                          semantic_dim=tag_size)   # all other dims = recipe
+    else:
+        cfg = ModelConfig(model_type="attention_scn", vocab_size=len(wm),
+                          embed_dim=64, attention_dim=64, decoder_dim=64,
+                          factored_dim=32, semantic_dim=3, enc_image_size=2,
+                          max_caption_len=12, encoder_arch="resnet50")
     bleus = []
 
     def log(s):
         if "BLEU-4" in s:
             bleus.append(float(s.rsplit("BLEU-4 - ", 1)[1]))
             print(s.strip())
+        elif fl and ("epoch time" in s or "Epoch: " in s.split("\t")[0]):
+            print(s.strip())
 
-    tcfg = TrainConfig(epochs=10, batch_size=8, print_freq=1000,
-                       checkpoint_dir=str(tmp / "ck2"), decoder_lr=3e-3)
+    tcfg = TrainConfig(epochs=25 if fl else 10, batch_size=32 if fl else 8,
+                       print_freq=1000,
+                       checkpoint_dir=str(tmp / "ck2"),
+                       decoder_lr=1e-3 if fl else 3e-3)
     (tmp / "ck2").mkdir()
     _, summary = caption.main(
         "attention_scn", data_cfg, tcfg, model_cfg=cfg,

@@ -52,6 +52,8 @@ def main():
     ap.add_argument("--vocab", type=int, default=6763)
     ap.add_argument("--full", action="store_true",
                     help="also run full 51-step beam decodes")
+    ap.add_argument("--section", default="all",
+                    choices=("all", "attend", "head", "cell"))
     args = ap.parse_args()
 
     from indonesian_image_captioning_tpu.core import runtime
@@ -85,14 +87,18 @@ def main():
 
     attend_consts = {"att": params["attention"], "enc": enc,
                      "enc_att": enc_att}
+    run_attend = args.section in ("all", "attend")
+    run_head = args.section in ("all", "head")
+    run_cell = args.section in ("all", "cell")
 
     def xla_attend_body(_, h, cs):
         awe, alpha = attn.attend(cs["att"], cs["enc"][:, None],
                                  cs["enc_att"][:, None], h)
         return feed(h, awe)
 
-    t = loop_timeit(xla_attend_body, h, attend_consts)
-    print(f"attend XLA:            {t*1e3:8.3f} ms/step")
+    if run_attend:
+        t = loop_timeit(xla_attend_body, h, attend_consts)
+        print(f"attend XLA:            {t*1e3:8.3f} ms/step")
 
     from indonesian_image_captioning_tpu.ops.attention_pallas import (
         attend_fused)
@@ -102,11 +108,37 @@ def main():
                                   cs["enc_att"][:, None], h)
         return feed(h, awe)
 
-    try:
-        t = loop_timeit(pallas_attend_body, h, attend_consts)
-        print(f"attend Pallas:         {t*1e3:8.3f} ms/step")
-    except Exception as e:
-        print(f"attend Pallas FAILED: {type(e).__name__}: {e}")
+    if run_attend:
+        for gtile in (1, 2, 4):
+            def body(_, h, cs, gtile=gtile):
+                awe, alpha = attend_fused(cs["att"], cs["enc"][:, None],
+                                          cs["enc_att"][:, None], h,
+                                          img_tile=gtile)
+                return feed(h, awe)
+            try:
+                t = loop_timeit(body, h, attend_consts)
+                print(f"attend Pallas G={gtile}:    {t*1e3:8.3f} ms/step")
+            except Exception as e:
+                print(f"attend Pallas G={gtile} FAILED: "
+                      f"{type(e).__name__}: {e}")
+
+    from indonesian_image_captioning_tpu.ops.attention_pallas import (
+        attend_fused_t, precompute_transposed)
+
+    def pallas_attend_t_body(_, h, cs):
+        awe, alpha = attend_fused_t(cs["att"], cs["enc"][:, None],
+                                    cs["enc_att_t"], h)
+        return feed(h, awe)
+
+    if run_attend:
+        attend_t_consts = {**attend_consts,
+                           "enc_att_t": precompute_transposed(
+                               params["attention"], enc)}
+        try:
+            t = loop_timeit(pallas_attend_t_body, h, attend_t_consts)
+            print(f"attend Pallas transposed: {t*1e3:8.3f} ms/step")
+        except Exception as e:
+            print(f"attend Pallas transposed FAILED: {type(e).__name__}: {e}")
 
     # ---- vocab head --------------------------------------------------------
     hf = h.reshape(B * K, D)
@@ -119,8 +151,9 @@ def main():
         return (hf * 0.999
                 + jnp.repeat(vals, K, 0)[:, :1] * 1e-6).astype(hf.dtype)
 
-    t = loop_timeit(xla_head_body, hf, head_consts)
-    print(f"vocab head XLA (dense flat top-k): {t*1e3:8.3f} ms/step")
+    if run_head:
+        t = loop_timeit(xla_head_body, hf, head_consts)
+        print(f"vocab head XLA (dense flat top-k): {t*1e3:8.3f} ms/step")
 
     from indonesian_image_captioning_tpu.ops.fc_topk_pallas import fc_topk
 
@@ -133,11 +166,115 @@ def main():
         return (hf * 0.999
                 + jnp.repeat(vals, K, 0)[:, :1] * 1e-6).astype(hf.dtype)
 
-    try:
-        t = loop_timeit(pallas_head_body, hf, head_consts)
-        print(f"vocab head Pallas fc_topk+sparse:  {t*1e3:8.3f} ms/step")
-    except Exception as e:
-        print(f"vocab head Pallas FAILED: {type(e).__name__}: {e}")
+    if run_head:
+        try:
+            t = loop_timeit(pallas_head_body, hf, head_consts)
+            print(f"vocab head Pallas fc_topk+sparse:  {t*1e3:8.3f} ms/step")
+        except Exception as e:
+            print(f"vocab head Pallas FAILED: {type(e).__name__}: {e}")
+
+    # XLA variants to locate the head's floor
+    def per_row_head_body(_, hf, cs):
+        """per-lane top-k of LOGITS (exact: lse shift is monotone per row),
+        then flat merge over K*k — all XLA."""
+        logits = linear(cs["fc"], hf)                     # (R, V)
+        lse = jax.nn.logsumexp(logits.astype(jnp.float32), axis=-1)
+        topv, topi = jax.lax.top_k(logits, K)             # (R, k)
+        cand = (topv.astype(jnp.float32) - lse[:, None]).reshape(B, K * K)
+        vals, idx = jax.lax.top_k(cand, K)
+        return (hf * 0.999
+                + jnp.repeat(vals, K, 0)[:, :1].astype(hf.dtype) * 1e-6)
+
+    if run_head:
+        t = loop_timeit(per_row_head_body, hf, head_consts)
+        print(f"vocab head XLA per-row topk+sparse: {t*1e3:8.3f} ms/step")
+
+    VT = 512
+    Vp = -(-V // VT) * VT
+    T_tiles = Vp // VT
+
+    def tilemax_head_body(_, hf, cs):
+        """hierarchical: per-row tile maxima -> top-k tiles -> gather ->
+        exact top-k over k*VT candidates."""
+        w = jnp.pad(cs["fc"]["w"], ((0, 0), (0, Vp - V)),
+                    constant_values=0)
+        b = jnp.pad(cs["fc"]["b"], (0, Vp - V), constant_values=-1e30)
+        logits = (hf @ w + b)                             # (R, Vp)
+        lse = jax.nn.logsumexp(logits.astype(jnp.float32), axis=-1)
+        tiles = logits.reshape(-1, T_tiles, VT)
+        tmax = tiles.max(axis=-1)                         # (R, T)
+        _, tids = jax.lax.top_k(tmax, K)                  # (R, k)
+        gathered = jnp.take_along_axis(tiles, tids[:, :, None],
+                                       axis=1).reshape(-1, K * VT)
+        topv, local = jax.lax.top_k(gathered, K)          # (R, k)
+        gidx = (jnp.take_along_axis(tids, local // VT, axis=1) * VT
+                + local % VT)                             # global vocab ids
+        cand = (topv.astype(jnp.float32) - lse[:, None]).reshape(B, K * K)
+        vals, idx = jax.lax.top_k(cand, K)
+        return (hf * 0.999
+                + (jnp.repeat(vals, K, 0)[:, :1]
+                   + jnp.repeat(gidx, 1, 0)[:, :1] * 0.0
+                   ).astype(hf.dtype) * 1e-6)
+
+    if run_head:
+        t = loop_timeit(tilemax_head_body, hf, head_consts)
+        print(f"vocab head XLA tilemax+sparse:      {t*1e3:8.3f} ms/step")
+
+    def argmax5_head_body(_, hf, cs):
+        """k rounds of argmax+mask over (R, V) — linear scans, no sort."""
+        logits = linear(cs["fc"], hf).astype(jnp.float32)
+        lse = jax.nn.logsumexp(logits, axis=-1)
+        work = logits
+        vs, js = [], []
+        col = jax.lax.broadcasted_iota(jnp.int32, work.shape, 1)
+        for _k in range(K):
+            j = jnp.argmax(work, axis=-1)
+            v = jnp.take_along_axis(work, j[:, None], axis=-1)
+            vs.append(v)
+            js.append(j[:, None])
+            work = jnp.where(col == j[:, None], -1e30, work)
+        topv = jnp.concatenate(vs, axis=1)
+        cand = (topv - lse[:, None]).reshape(B, K * K)
+        vals, idx = jax.lax.top_k(cand, K)
+        return (hf * 0.999
+                + jnp.repeat(vals, K, 0)[:, :1].astype(hf.dtype) * 1e-6)
+
+    if run_head:
+        t = loop_timeit(argmax5_head_body, hf, head_consts)
+        print(f"vocab head XLA 5-round argmax:      {t*1e3:8.3f} ms/step")
+
+    def approx_head_body(_, hf, cs):
+        """dense flat merge via approx_max_k(recall_target=1.0) — exact,
+        PartialReduce lowering instead of a full sort."""
+        logits = linear(cs["fc"], hf)
+        logprobs = jax.nn.log_softmax(logits, axis=-1)
+        vals, idx = jax.lax.approx_max_k(
+            logprobs.reshape(B, K * V), K, recall_target=1.0)
+        return (hf * 0.999
+                + jnp.repeat(vals, K, 0)[:, :1].astype(hf.dtype) * 1e-6)
+
+    if run_head:
+        try:
+            t = loop_timeit(approx_head_body, hf, head_consts)
+            print(f"vocab head XLA approx_max_k(1.0):   {t*1e3:8.3f} ms/step")
+        except Exception as e:
+            print(f"vocab head approx FAILED: {type(e).__name__}: {e}")
+
+    def approx_perrow_head_body(_, hf, cs):
+        logits = linear(cs["fc"], hf)
+        lse = jax.nn.logsumexp(logits.astype(jnp.float32), axis=-1)
+        topv, topi = jax.lax.approx_max_k(logits, K, recall_target=1.0)
+        cand = (topv.astype(jnp.float32) - lse[:, None]).reshape(B, K * K)
+        vals, idx = jax.lax.top_k(cand, K)
+        return (hf * 0.999
+                + jnp.repeat(vals, K, 0)[:, :1].astype(hf.dtype) * 1e-6)
+
+    if run_head:
+        try:
+            t = loop_timeit(approx_perrow_head_body, hf, head_consts)
+            print(f"vocab head XLA approx per-row:      {t*1e3:8.3f} ms/step")
+        except Exception as e:
+            print(f"vocab head approx per-row FAILED: {type(e).__name__}: {e}")
 
     # ---- SCN cell ----------------------------------------------------------
     from indonesian_image_captioning_tpu.models import scn_cell
@@ -160,8 +297,9 @@ def main():
         return scn_cell.scn_step(cs["cell"], x_fac, cs["sx"][:, None],
                                  cs["sh"][:, None], h, c)
 
-    t = loop_timeit(xla_cell_body, (h, h), cell_consts)
-    print(f"scn cell XLA:          {t*1e3:8.3f} ms/step")
+    if run_cell:
+        t = loop_timeit(xla_cell_body, (h, h), cell_consts)
+        print(f"scn cell XLA:          {t*1e3:8.3f} ms/step")
 
     from indonesian_image_captioning_tpu.ops.scn_pallas import scn_step_fused
 
@@ -175,11 +313,12 @@ def main():
                               + jnp.zeros((B, K, 4, cs["sh"].shape[-1]),
                                           cs["sh"].dtype), h, c)
 
-    try:
-        t = loop_timeit(pallas_cell_body, (h, h), cell_consts)
-        print(f"scn cell Pallas fused: {t*1e3:8.3f} ms/step")
-    except Exception as e:
-        print(f"scn cell Pallas FAILED: {type(e).__name__}: {e}")
+    if run_cell:
+        try:
+            t = loop_timeit(pallas_cell_body, (h, h), cell_consts)
+            print(f"scn cell Pallas fused: {t*1e3:8.3f} ms/step")
+        except Exception as e:
+            print(f"scn cell Pallas FAILED: {type(e).__name__}: {e}")
 
     # ---- full decodes ------------------------------------------------------
     if args.full:
@@ -189,8 +328,9 @@ def main():
         tags_b = jax.random.uniform(
             jax.random.key(6), (B, cfg.semantic_dim)).astype(dt)
         enc4 = enc.reshape(B, cfg.enc_image_size, cfg.enc_image_size, E)
-        for fused_att in (False, True):
-            c = dataclasses.replace(cfg, fused_attention=fused_att)
+        for variant in ({"sparse_head": False}, {"sparse_head": True},
+                        {"sparse_head": True, "fused_attention": True}):
+            c = dataclasses.replace(cfg, **variant)
 
             def run():
                 out = caption_beam_search(
@@ -204,10 +344,10 @@ def main():
                 for _ in range(3):
                     run()
                 dtp = (time.time() - t0) / 3
-                print(f"full decode fused_attention={fused_att}: "
+                print(f"full decode {variant}: "
                       f"{dtp*1e3:8.1f} ms/batch = {B/dtp:8.1f} captions/s")
             except Exception as e:
-                print(f"full decode fused_attention={fused_att} FAILED: "
+                print(f"full decode {variant} FAILED: "
                       f"{type(e).__name__}: {e}")
 
 
