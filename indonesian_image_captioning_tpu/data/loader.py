@@ -42,21 +42,35 @@ def batch_indices(n: int, batch_size: int, *, shuffle: bool, seed: int,
 
 
 def iterate(dataset, batch_size: int, *, shuffle: bool = False, seed: int = 0,
-            epoch: int = 0, drop_last: bool = False
+            epoch: int = 0, drop_last: bool = False,
+            process_index: int = 0, process_count: int = 1
             ) -> Iterator[Dict[str, np.ndarray]]:
-    """Host-side batch iterator over a dataset with .gather(idx)."""
+    """Host-side batch iterator over a dataset with .gather(idx).
+
+    Multi-host (SURVEY.md §5 dist backend): with process_count > 1 each
+    process gathers only its contiguous 1/process_count slice of every
+    GLOBAL batch — the slice matching its devices' portion of a batch
+    sharded over the mesh "data" axis.  The shuffle order, padding and
+    validity masks are computed globally (identical on every process), so
+    the union of all processes' slices is exactly the single-process batch.
+    """
+    if batch_size % process_count:
+        raise ValueError(f"batch_size {batch_size} must be divisible by "
+                         f"process_count {process_count}")
+    local = batch_size // process_count
+    lo, hi = process_index * local, (process_index + 1) * local
     for chunk, valid in batch_indices(len(dataset), batch_size,
                                       shuffle=shuffle, seed=seed, epoch=epoch,
                                       drop_last=drop_last):
-        batch = dataset.gather(chunk)
+        batch = dataset.gather(chunk[lo:hi])
         mask = np.zeros(batch_size, np.float32)
         mask[:valid] = 1.0
-        batch["valid"] = mask
-        if valid < batch_size:
+        batch["valid"] = mask[lo:hi]
+        if valid < hi:
             # zero caplens on padding rows -> zero token mask downstream
             if "caplens" in batch:
                 batch["caplens"] = batch["caplens"].copy()
-                batch["caplens"][valid:] = 0
+                batch["caplens"][max(valid - lo, 0):] = 0
         yield batch
 
 
@@ -68,6 +82,12 @@ def prefetch_to_device(iterator, size: int = 2, sharding=None):
 
     def put(batch):
         if sharding is not None:
+            if jax.process_count() > 1:
+                # each process holds its local slice of the global batch;
+                # assemble the global sharded jax.Array from local shards
+                return jax.tree.map(
+                    lambda x: jax.make_array_from_process_local_data(
+                        sharding(np.ndim(x)), x), batch)
             return jax.tree.map(
                 lambda x: jax.device_put(x, sharding(np.ndim(x))), batch)
         return jax.tree.map(jax.device_put, batch)

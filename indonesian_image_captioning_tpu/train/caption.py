@@ -126,6 +126,13 @@ def main(model_type: str,
         def batch_shard(ndim):
             return NamedSharding(mesh, P(DATA_AXIS, *([None] * (ndim - 1))))
 
+    # per-process input sharding (multi-host: each process gathers its
+    # slice of the global batch; single process == identity)
+    import jax as _jax
+    proc = (dict(process_index=_jax.process_index(),
+                 process_count=_jax.process_count())
+            if mesh is not None else {})
+
     optimizer = steps.make_optimizer(tcfg.decoder_lr, tcfg.grad_clip)
     key = root_key(tcfg.seed)
     state = init_state(stream(key, f"{model_type}_init"), cfg, optimizer,
@@ -175,7 +182,7 @@ def main(model_type: str,
         printer = EpochPrinter("Epoch", epoch, n_train, tcfg.print_freq, log)
         it = loader_lib.prefetch_to_device(loader_lib.iterate(
             train_ds, tcfg.batch_size, shuffle=True, seed=tcfg.seed,
-            epoch=epoch), sharding=batch_shard)
+            epoch=epoch, **proc), sharding=batch_shard)
         # metrics stay on device between print boundaries: a per-step sync
         # serializes the remote dispatch pipeline (~2x step time)
         pending = []
@@ -218,7 +225,7 @@ def main(model_type: str,
         printer = EpochPrinter("Validation", epoch, n_val, tcfg.print_freq, log)
         references, hypotheses = [], []
         it = loader_lib.prefetch_to_device(loader_lib.iterate(
-            val_ds, tcfg.batch_size), sharding=batch_shard)
+            val_ds, tcfg.batch_size, **proc), sharding=batch_shard)
         for i, batch in enumerate(it):
             printer.data_loaded()
             st = state_box["state"]

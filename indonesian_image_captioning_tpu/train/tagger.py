@@ -105,6 +105,10 @@ def main(data_cfg: DataConfig = DataConfig(),
         train_step = steps.make_tagger_train_step(
             tcfg, optimizer, tagger_cfg.dropout, arch=tagger_cfg.encoder_arch)
     eval_step = steps.make_tagger_eval_step(arch=tagger_cfg.encoder_arch)
+    # per-process input sharding (multi-host; single process == identity)
+    proc = (dict(process_index=jax.process_index(),
+                 process_count=jax.process_count())
+            if mesh is not None else {})
     drop_key = stream(key, "tagger_dropout")
     n_train = loader_lib.num_batches(len(train_ds), tcfg.batch_size)
     n_val = loader_lib.num_batches(len(val_ds), tcfg.batch_size)
@@ -115,7 +119,7 @@ def main(data_cfg: DataConfig = DataConfig(),
         printer = EpochPrinter("Epoch", epoch, n_train, tcfg.print_freq, log)
         it = loader_lib.prefetch_to_device(loader_lib.iterate(
             train_ds, tcfg.batch_size, shuffle=True, seed=tcfg.seed,
-            epoch=epoch), sharding=batch_shard)
+            epoch=epoch, **proc), sharding=batch_shard)
         pending = []
 
         def flush():
@@ -139,7 +143,7 @@ def main(data_cfg: DataConfig = DataConfig(),
     def validate(epoch: int) -> float:
         printer = EpochPrinter("Validation", epoch, n_val, tcfg.print_freq, log)
         it = loader_lib.prefetch_to_device(loader_lib.iterate(
-            val_ds, tcfg.batch_size), sharding=batch_shard)
+            val_ds, tcfg.batch_size, **proc), sharding=batch_shard)
         for i, batch in enumerate(it):
             printer.data_loaded()
             m = eval_step(state_box["state"]["params"],

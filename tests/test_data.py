@@ -166,3 +166,49 @@ def test_prefetch_to_device(artifacts):
         loader_lib.iterate(ds, batch_size=2)))
     assert len(got) == 2
     assert got[0]["images"].shape == (2, 3, 256, 256)
+
+
+def test_iterate_process_slices_partition_global_batch(tmp_path):
+    """Multi-host input sharding: the union of every process's slices must
+    be exactly the single-process batch (same shuffle order, same padding,
+    same masks), per data/loader.py."""
+    from indonesian_image_captioning_tpu.data import loader as loader_lib
+
+    class FakeDS:
+        def __init__(self, n):
+            self.n = n
+            self.data = np.arange(n * 3, dtype=np.int32).reshape(n, 3)
+
+        def __len__(self):
+            return self.n
+
+        def gather(self, idx):
+            return {"images": self.data[idx],
+                    "caplens": np.full(len(idx), 7, np.int32)}
+
+    ds = FakeDS(10)  # 10 rows, batch 8 -> one full + one padded batch
+    single = list(loader_lib.iterate(ds, 8, shuffle=True, seed=3, epoch=1))
+    for pc in (2, 4):
+        per_proc = [list(loader_lib.iterate(
+            ds, 8, shuffle=True, seed=3, epoch=1,
+            process_index=pi, process_count=pc)) for pi in range(pc)]
+        for b, ref in enumerate(single):
+            for key in ref:
+                glued = np.concatenate([per_proc[pi][b][key]
+                                        for pi in range(pc)])
+                np.testing.assert_array_equal(glued, ref[key], err_msg=key)
+
+
+def test_iterate_process_count_divisibility():
+    from indonesian_image_captioning_tpu.data import loader as loader_lib
+    import pytest as _pytest
+
+    class FakeDS:
+        def __len__(self):
+            return 4
+
+        def gather(self, idx):
+            return {"images": np.zeros((len(idx), 2))}
+
+    with _pytest.raises(ValueError):
+        list(loader_lib.iterate(FakeDS(), 6, process_count=4))
