@@ -29,6 +29,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--batch_size", default=16, type=int,
                    help="images decoded per device batch")
     p.add_argument("--output_root", default="evaluation")
+    p.add_argument("--mesh", default=None, metavar="D,M",
+                   help="shard eval batches over a (data, model) device "
+                        "mesh, e.g. 8,1; default single device")
     return p
 
 
@@ -43,10 +46,15 @@ def main(argv=None):
     word_map = vocab_lib.load_json(wm_path)
     cfg = ModelConfig(model_type=args.type, vocab_size=len(word_map))
     state = load_caption_state(args.model_caption, cfg, args.model_tagger)
+    mesh_shape = None
+    if args.mesh:
+        parts = tuple(int(x) for x in args.mesh.split(","))
+        mesh_shape = parts if len(parts) == 2 else (parts[0], 1)
     scores = eval_lib.evaluate(
         state, cfg, data_cfg, word_map,
         beam_cfg=BeamConfig(beam_size=args.beam_size),
-        batch_size=args.batch_size, output_root=args.output_root)
+        batch_size=args.batch_size, output_root=args.output_root,
+        mesh_shape=mesh_shape)
     print("\nScore of {} model @ beam size of {} is {}.\n".format(
         args.type, args.beam_size, scores))
     return scores

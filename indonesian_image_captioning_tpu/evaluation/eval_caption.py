@@ -37,9 +37,15 @@ def evaluate(state: Dict, cfg: ModelConfig, data_cfg: DataConfig,
              batch_size: int = 16,
              output_root: Optional[str] = "evaluation",
              include_cider: bool = False,
+             mesh_shape=None,
              log=print) -> Dict[str, float]:
     """state: {"params", "encoder", "encoder_stats", "tagger",
-    "tagger_stats"} (tagger entries unused for pure_attention)."""
+    "tagger_stats"} (tagger entries unused for pure_attention).
+
+    mesh_shape (d, m): shard each eval batch over the mesh "data" axis —
+    serving scale-out; the SPMD programs produce identical sequences to the
+    single-device run (deterministic beam).
+    """
     ds = CaptionDataset(data_cfg.data_folder, data_cfg.data_name, "TEST")
     rev_word_map = vocab_lib.invert(word_map)
     start_id, end_id = word_map[START_TOKEN], word_map[END_TOKEN]
@@ -80,7 +86,23 @@ def evaluate(state: Dict, cfg: ModelConfig, data_cfg: DataConfig,
                                    jax.numpy.float32)
         return run_beam(st, enc_out, tags)
 
-    state = jax.device_put(state)
+    mesh, place_images = None, jax.device_put
+    if mesh_shape is not None and tuple(mesh_shape) != (1, 1):
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from ..core.meshes import DATA_AXIS, make_mesh
+        mesh = make_mesh(tuple(mesh_shape))
+        if batch_size % mesh_shape[0]:
+            raise ValueError(f"batch_size {batch_size} must be divisible "
+                             f"by the data axis {mesh_shape[0]}")
+        state = jax.device_put(
+            state, jax.tree.map(lambda _: NamedSharding(mesh, P()), state))
+
+        def place_images(x):
+            return jax.device_put(
+                x, NamedSharding(mesh, P(DATA_AXIS, *([None] * (x.ndim - 1)))))
+    else:
+        state = jax.device_put(state)
 
     references, hypotheses = [], []
     n_images = ds.num_images
@@ -88,7 +110,7 @@ def evaluate(state: Dict, cfg: ModelConfig, data_cfg: DataConfig,
         idx = np.arange(b0, min(b0 + batch_size, n_images))
         pad = batch_size - len(idx)
         img_idx = np.concatenate([idx, np.zeros(pad, np.int64)]) if pad else idx
-        images = np.stack([ds.image(int(i)) for i in img_idx])
+        images = place_images(np.stack([ds.image(int(i)) for i in img_idx]))
         seqs, lens = jax.device_get(encode_and_decode(state, images))
         for row, i in enumerate(idx):
             seq = seqs[row][:int(lens[row])]

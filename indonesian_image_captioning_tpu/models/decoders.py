@@ -199,9 +199,16 @@ def make_beam_step(params, cfg: ModelConfig, enc, tags):
         sx, sh = scn_cell.semantic_projections(cell, tags)
         inv["sem_x"], inv["sem_h"] = sx[:, None], sh[:, None]
     if cfg.uses_attention:
-        inv["enc"] = enc_flat[:, None]                  # (B, 1, P, E)
-        inv["enc_att"] = attn.precompute(
-            params["attention"], enc_flat)[:, None]     # (B, 1, P, A)
+        enc_att = attn.precompute(params["attention"], enc_flat)
+        if cfg.fused_attention:
+            # pre-pad the loop invariants ONCE (a pad inside the beam
+            # while_loop costs more than the kernel — see attention_pallas)
+            from ..ops.attention_pallas import pad_pixels
+            inv["enc"] = pad_pixels(enc_flat)[:, None]  # (B, 1, Pp, E)
+            inv["enc_att"] = pad_pixels(enc_att)[:, None]
+        else:
+            inv["enc"] = enc_flat[:, None]              # (B, 1, P, E)
+            inv["enc_att"] = enc_att[:, None]           # (B, 1, P, A)
         if is_scn:
             inv["w_x_emb"], inv["w_x_awe"] = _split_wx(params, cfg)
 
@@ -231,7 +238,8 @@ def make_beam_step(params, cfg: ModelConfig, enc, tags):
             if cfg.fused_attention:
                 from ..ops.attention_pallas import attend_fused
                 awe, alpha = attend_fused(
-                    params["attention"], inv["enc"], inv["enc_att"], h)
+                    params["attention"], inv["enc"], inv["enc_att"], h,
+                    p_actual=enc_flat.shape[1])
             else:
                 awe, alpha = attn.attend(
                     params["attention"], inv["enc"], inv["enc_att"], h)

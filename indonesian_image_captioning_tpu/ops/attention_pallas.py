@@ -84,15 +84,33 @@ def _make_kernel(G: int, K: int, P_actual: int):
     return kernel
 
 
-def attend_fused(att_params, enc, enc_att, h, *, interpret=None,
-                 img_tile: int = 0):
+def pad_pixels(x, multiple: int = 16):
+    """Zero-pad the pixel axis of (..., P, E) to the sublane multiple.
+
+    CALL ONCE PER DECODE on the loop-invariant enc / enc_att (see
+    models/decoders.make_beam_step) and hand attend_fused ``p_actual``:
+    a device trace showed the pads running INSIDE the beam while_loop cost
+    64 ms per 20 steps at B=1024 — 2x the kernel itself.
+    """
+    P = x.shape[-2]
+    Pp = _round_up(max(P, multiple), multiple)
+    if Pp == P:
+        return x
+    widths = [(0, 0)] * (x.ndim - 2) + [(0, Pp - P), (0, 0)]
+    return jnp.pad(x, widths)
+
+
+def attend_fused(att_params, enc, enc_att, h, *, p_actual=None,
+                 interpret=None, img_tile: int = 0):
     """Drop-in for models.attention.attend on beam-shaped inputs.
 
     att_params: the attention param dict (encoder_att/decoder_att/full_att)
-    enc:     (B, 1, P, E) or (B, K, P, E) encoder output
+    enc:     (B, 1, P, E) or (B, P, E) encoder output
     enc_att: (B, 1, P, A) precomputed projection
     h:       (B, K, D) decoder hidden states
-    Returns (awe (B, K, E), alpha (B, K, P)).
+    p_actual: number of REAL pixels when enc/enc_att arrive pre-padded via
+      :func:`pad_pixels` (the fast path — no per-step pads); None pads here.
+    Returns (awe (B, K, E), alpha (B, K, p_actual)).
 
     img_tile=0 picks the largest image tile whose double-buffered inputs
     stay within ~8 MB of VMEM.
@@ -100,15 +118,26 @@ def attend_fused(att_params, enc, enc_att, h, *, interpret=None,
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
     B, K, _ = h.shape
-    enc3 = enc[:, 0] if enc.ndim == 4 else enc             # (B, P, E)
+    enc3 = enc[:, 0] if enc.ndim == 4 else enc             # (B, Pp?, E)
     enc_att3 = enc_att[:, 0] if enc_att.ndim == 4 else enc_att
-    P, E = enc3.shape[-2:]
+    E = enc3.shape[-1]
     A = enc_att3.shape[-1]
-    Pp = _round_up(max(P, 16), 16)                         # sublane-align
+    if p_actual is None:
+        P = enc3.shape[-2]
+        enc3 = pad_pixels(enc3)
+        enc_att3 = pad_pixels(enc_att3)
+    else:
+        P = p_actual
+        if enc3.shape[-2] % 16:
+            raise ValueError("pre-padded inputs must be 16-aligned; use "
+                             "ops.attention_pallas.pad_pixels")
+    Pp = enc3.shape[-2]
 
     if img_tile <= 0:
+        # ~9 MB double-buffered input budget -> G=4 at bf16 flagship dims
+        # (fastest in the G sweep, tools/profile_decode.py), G=2 at f32
         per_img = Pp * (E + A) * enc3.dtype.itemsize
-        img_tile = max(1, (8 << 20) // (2 * per_img))
+        img_tile = max(1, (9 << 20) // (2 * per_img))
     G = img_tile
     while B % G:
         G -= 1
@@ -119,11 +148,6 @@ def attend_fused(att_params, enc, enc_att, h, *, interpret=None,
     dec = (h @ att_params["decoder_att"]["w"]
            + att_params["decoder_att"]["b"])               # (B, K, A)
     wf = att_params["full_att"]["w"].astype(jnp.float32).reshape(1, A)
-
-    if Pp != P:
-        pad = ((0, 0), (0, Pp - P), (0, 0))
-        enc3 = jnp.pad(enc3, pad)
-        enc_att3 = jnp.pad(enc_att3, pad)
 
     kernel = _make_kernel(G, K, P)
     awe, alpha = pl.pallas_call(

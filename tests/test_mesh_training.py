@@ -97,3 +97,33 @@ def test_mesh_dp_matches_single_device(corpus, tmp_path):
     a = np.asarray(s_single["params"]["fc"]["w"])
     b = np.asarray(s_mesh["params"]["fc"]["w"])
     np.testing.assert_allclose(a, b, rtol=2e-4, atol=2e-5)
+
+
+def test_eval_caption_on_mesh_matches_single_device(corpus, tmp_path):
+    """Mesh-sharded TEST-split evaluation must produce the same scores as
+    the single-device run (deterministic beam over identical batches)."""
+    import dataclasses
+
+    from indonesian_image_captioning_tpu.core.config import (
+        BeamConfig, ModelConfig)
+    from indonesian_image_captioning_tpu.core.prng import root_key
+    from indonesian_image_captioning_tpu.data import vocab as vocab_lib
+    from indonesian_image_captioning_tpu.evaluation import eval_caption
+    from indonesian_image_captioning_tpu.train import caption as caption_train
+    from indonesian_image_captioning_tpu.train import steps
+
+    wm = vocab_lib.load_json(vocab_lib.wordmap_path(
+        corpus.data_folder, corpus.data_name))
+    cfg = ModelConfig(model_type="attention_scn", vocab_size=len(wm),
+                      semantic_dim=2, **TINY)
+    opt = steps.make_optimizer(4e-4, 5.0)
+    state = caption_train.init_state(root_key(0), cfg, opt)
+    kw = dict(beam_cfg=BeamConfig(beam_size=3, max_steps=11), batch_size=8,
+              log=lambda s: None)
+    s1 = eval_caption.evaluate(state, cfg, corpus, wm, output_root=None,
+                               **kw)
+    s8 = eval_caption.evaluate(state, cfg, corpus, wm,
+                               output_root=str(tmp_path / "out"),
+                               mesh_shape=(8, 1), **kw)
+    for k in s1:
+        assert abs(s1[k] - s8[k]) < 1e-9, (k, s1[k], s8[k])

@@ -109,17 +109,23 @@ def main():
         return feed(h, awe)
 
     if run_attend:
-        for gtile in (1, 2, 4):
+        from indonesian_image_captioning_tpu.ops.attention_pallas import (
+            pad_pixels)
+        padded_consts = {**attend_consts,
+                         "enc_p": pad_pixels(enc),
+                         "enc_att_p": pad_pixels(enc_att)}
+        for gtile in (0, 1, 2, 4):
             def body(_, h, cs, gtile=gtile):
-                awe, alpha = attend_fused(cs["att"], cs["enc"][:, None],
-                                          cs["enc_att"][:, None], h,
-                                          img_tile=gtile)
+                awe, alpha = attend_fused(cs["att"], cs["enc_p"][:, None],
+                                          cs["enc_att_p"][:, None], h,
+                                          p_actual=P, img_tile=gtile)
                 return feed(h, awe)
             try:
-                t = loop_timeit(body, h, attend_consts)
-                print(f"attend Pallas G={gtile}:    {t*1e3:8.3f} ms/step")
+                t = loop_timeit(body, h, padded_consts)
+                print(f"attend Pallas prepad G={gtile}: "
+                      f"{t*1e3:8.3f} ms/step")
             except Exception as e:
-                print(f"attend Pallas G={gtile} FAILED: "
+                print(f"attend Pallas prepad G={gtile} FAILED: "
                       f"{type(e).__name__}: {e}")
 
     from indonesian_image_captioning_tpu.ops.attention_pallas import (
