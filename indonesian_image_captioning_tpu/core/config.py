@@ -121,6 +121,14 @@ class TrainConfig:
     # v5e).  The differentiated decoder stays f32.  Set "float32" for
     # bit-exact parity with the reference's f32 encoder.
     encoder_dtype: str = "bfloat16"
+    # Calibrate the FROZEN caption encoder's BatchNorm running stats with
+    # this many train-mode EMA passes over training batches before epoch 0.
+    # Needed when the encoder is NOT pretrained: at random init the running
+    # stats are (0, 1) while the residual stack doubles activation variance
+    # per block, so eval-mode features explode (~1e10 norms for ResNet-152)
+    # and saturate the decoder.  The reference never hits this because it
+    # always loads ImageNet weights.  0 = off (parity default).
+    calibrate_encoder_stats: int = 0
 
 
 @dataclasses.dataclass(frozen=True)

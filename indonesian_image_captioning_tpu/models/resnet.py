@@ -117,18 +117,34 @@ def _conv(x, w, stride: int, padding):
         dimension_numbers=("NHWC", "HWIO", "NHWC"))
 
 
-def _bn(x, p, s, train: bool):
-    """Returns (y, new_stats)."""
+def _bn(x, p, s, train):
+    """Returns (y, new_stats).
+
+    train: False = eval (running stats); True = train (batch stats,
+    torch-momentum EMA update with UNBIASED variance — torchvision
+    parity); "calibrate" = train-mode normalisation but new_stats are the
+    BIASED batch statistics themselves, so a subsequent eval-mode forward
+    reproduces this train-mode forward exactly.  (The torch unbiased-EMA
+    form systematically over-estimates variance by n/(n-1) per layer,
+    which compounds across a ResNet-152's ~160 BNs when the per-layer
+    sample count is small.)
+    """
     if train:
         axes = (0, 1, 2)
         mean = jnp.mean(x, axes)
-        var = jnp.var(x, axes)
-        n = x.shape[0] * x.shape[1] * x.shape[2]
-        unbiased = var * n / max(n - 1, 1)
-        new_s = {
-            "mean": (1 - BN_MOMENTUM) * s["mean"] + BN_MOMENTUM * mean,
-            "var": (1 - BN_MOMENTUM) * s["var"] + BN_MOMENTUM * unbiased,
-        }
+        # clamp: XLA may fuse variance as E[x^2] - E[x]^2, whose
+        # cancellation can go slightly NEGATIVE on low-diversity batches —
+        # stored negative var then blows up eval's rsqrt(var + eps)
+        var = jnp.maximum(jnp.var(x, axes), 0.0)
+        if train == "calibrate":
+            new_s = {"mean": mean, "var": var}
+        else:
+            n = x.shape[0] * x.shape[1] * x.shape[2]
+            unbiased = var * n / max(n - 1, 1)
+            new_s = {
+                "mean": (1 - BN_MOMENTUM) * s["mean"] + BN_MOMENTUM * mean,
+                "var": (1 - BN_MOMENTUM) * s["var"] + BN_MOMENTUM * unbiased,
+            }
     else:
         mean, var = s["mean"], s["var"]
         new_s = s

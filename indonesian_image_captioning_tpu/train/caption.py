@@ -139,6 +139,39 @@ def main(model_type: str,
                        tagger_checkpoint=tagger_checkpoint,
                        encoder_init=encoder_init,
                        data_name=data_cfg.data_name)
+    if tcfg.calibrate_encoder_stats > 0:
+        import jax
+
+        @jax.jit
+        def _calib(enc_params, enc_stats, images_u8):
+            # "calibrate" mode: returns the BIASED batch statistics — an
+            # eval-mode forward with them reproduces the train-mode
+            # normalisation (models/resnet.py _bn docstring)
+            x = steps.prep_images(images_u8)
+            return encoders.apply_encoder_caption(
+                enc_params, enc_stats, x, train="calibrate",
+                enc_image_size=cfg.enc_image_size, arch=cfg.encoder_arch)[1]
+
+        done, acc = 0, None
+        while done < tcfg.calibrate_encoder_stats:
+            # drop_last only when the dataset has at least one full batch
+            # (padded zero rows would bias the batch statistics)
+            # distinct non-negative epoch stream disjoint from training
+            # epochs (numpy SeedSequence rejects negative entropy)
+            for batch in loader_lib.iterate(
+                    train_ds, tcfg.batch_size, shuffle=True, seed=tcfg.seed,
+                    epoch=10**9 + done,
+                    drop_last=len(train_ds) >= tcfg.batch_size):
+                bstats = _calib(state["encoder"], state["encoder_stats"],
+                                batch["images"])
+                acc = bstats if acc is None else jax.tree.map(
+                    lambda a, b, d=done: (a * d + b) / (d + 1), acc, bstats)
+                done += 1
+                if done >= tcfg.calibrate_encoder_stats:
+                    break
+        state["encoder_stats"] = acc
+        log(f"calibrated frozen-encoder BN stats over {done} batches")
+
     if tcfg.fine_tune_encoder:
         # enc_opt_state joins the state BEFORE resume so the checkpoint
         # template includes it — otherwise resuming a fine-tune run would

@@ -172,3 +172,45 @@ def test_finetune_resume_preserves_encoder_opt_state(data_env, tmp_path):
 def dataclasses_replace(cfg, **kw):
     import dataclasses
     return dataclasses.replace(cfg, **kw)
+
+
+def test_encoder_bn_calibration_converges_eval_to_train(data_env):
+    """At random init, eval-mode BN running stats (0, 1) make the frozen
+    encoder's eval output wildly different from its train-mode output (for
+    ResNet-152 depth, exponentially exploded — TrainConfig.
+    calibrate_encoder_stats docstring).  EMA calibration passes must drive
+    the eval-mode output to the train-mode (batch-stat) output."""
+    import jax
+    import jax.numpy as jnp
+    from indonesian_image_captioning_tpu.core.prng import root_key
+    from indonesian_image_captioning_tpu.data.datasets import CaptionDataset
+    from indonesian_image_captioning_tpu.data import loader as loader_lib
+    from indonesian_image_captioning_tpu.models import encoders
+    from indonesian_image_captioning_tpu.train.steps import prep_images
+
+    params, stats = encoders.init_encoder_caption(root_key(7),
+                                                  arch="resnet50")
+    ds = CaptionDataset(data_env.data_folder, data_env.data_name, "TRAIN")
+    # DISTINCT images: calibration needs batch diversity — duplicated rows
+    # drive deep-layer batch variances to ~1e-8 where the post-BN gain
+    # (capped at rsqrt(eps) ~ 316 per layer) amplifies trace-level float
+    # reassociation between the train and eval programs without bound
+    x = prep_images(np.stack([ds.image(i) for i in range(4)]))
+
+    apply = jax.jit(lambda s, train: encoders.apply_encoder_caption(
+        params, s, x, train=train, enc_image_size=2, arch="resnet50"),
+        static_argnums=1)
+    train_out = np.asarray(apply(stats, True)[0])
+
+    def eval_err(s):
+        out = np.asarray(apply(s, False)[0])
+        return float(np.linalg.norm(out - train_out)
+                     / np.linalg.norm(train_out))
+
+    before = eval_err(stats)
+    # ONE calibrate pass assigns the biased batch stats: eval-mode on the
+    # same batch then reproduces the train-mode normalisation
+    calibrated = apply(stats, "calibrate")[1]
+    after = eval_err(calibrated)
+    assert before > 0.5, before           # uncalibrated eval is way off
+    assert after < 0.05, (before, after)  # calibrated eval ~= train output

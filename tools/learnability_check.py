@@ -77,6 +77,9 @@ def main():
     from indonesian_image_captioning_tpu.train import caption, tagger
 
     ap = argparse.ArgumentParser()
+    ap.add_argument("--lr", type=float, default=None,
+                    help="caption decoder LR override")
+    ap.add_argument("--epochs", type=int, default=None)
     ap.add_argument("--flagship", action="store_true",
                     help="run at the REFERENCE flagship config: 256px "
                          "images, ResNet-152 encoders, 14x14x2048 features, "
@@ -132,10 +135,17 @@ def main():
         elif fl and ("epoch time" in s or "Epoch: " in s.split("\t")[0]):
             print(s.strip())
 
-    tcfg = TrainConfig(epochs=25 if fl else 10, batch_size=32 if fl else 8,
-                       print_freq=1000,
-                       checkpoint_dir=str(tmp / "ck2"),
-                       decoder_lr=1e-3 if fl else 3e-3)
+    tcfg = TrainConfig(
+        epochs=args.epochs or (25 if fl else 10),
+        batch_size=32 if fl else 8,
+        print_freq=1000,
+        checkpoint_dir=str(tmp / "ck2"),
+        decoder_lr=args.lr or (3e-3 if not fl else 3e-3),
+        # at random init a deep frozen encoder's eval-mode BN explodes
+        # (see TrainConfig.calibrate_encoder_stats) — calibrate for the
+        # flagship ResNet-152; the reference sidesteps this with ImageNet
+        # weights which aren't available offline
+        calibrate_encoder_stats=50 if fl else 0)
     (tmp / "ck2").mkdir()
     _, summary = caption.main(
         "attention_scn", data_cfg, tcfg, model_cfg=cfg,
