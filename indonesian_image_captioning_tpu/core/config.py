@@ -51,13 +51,27 @@ class ModelConfig:
     fused_attention: bool = False
     # Sparse beam head: per-lane top-k of the logprobs feeds the beam's flat
     # merge K*k candidates instead of the K*V dense table (decode/beam.py
-    # module docstring proves exactness, ties included).  Isolated it beats
-    # the dense head (1.77 vs 2.36 ms/step at B=1024/V=6763/bf16 on v5e),
-    # but inside the 51-step while_loop the per-row top_k lowering loses the
-    # fusion the dense flat top_k gets (full decode 348 vs 294 ms/batch at
-    # V=6,763; 755 vs 742 at COCO-ID V=38,732) — the DENSE head stays
-    # default at both vocab scales.
-    sparse_head: bool = False
+    # module docstring proves exactness, ties included).  With the
+    # lax.top_k backend it lost to dense in-loop (round 1: 348 vs 294
+    # ms/batch), but with the extract-max backends below it wins — see the
+    # measurement table under topk_backend.  Default ON.
+    sparse_head: bool = True
+    # Backend for the per-row top-k feeding the head (and the beam's flat
+    # merge).  The beam needs only k <= 8 winners per row, so extract-max
+    # backends beat lax.top_k's sort-style lowering; all three are exact
+    # and bitwise-identical, ties included (ops/topk_pallas.py,
+    # tests/test_topk.py):
+    #   "iterative" — k rounds of XLA max/argmax/mask (default),
+    #   "pallas"    — single-HBM-pass Pallas kernel,
+    #   "lax"       — jax.lax.top_k.
+    # Full-decode measurements (v5e, B=1024, K=5, V=6763, bf16,
+    # tools/profile_topk.py --section decode, 2026-08-16):
+    #   dense+lax 303.5 ms (the old default) · dense+iterative 303.8 ·
+    #   dense+pallas 329.4 · sparse+lax 355.1 · sparse+pallas 289.2 ·
+    #   sparse+iterative 271.1 ms  →  sparse_head=True +
+    #   topk_backend="iterative" is the production default (+12%
+    #   captions/s over round 1).
+    topk_backend: str = "iterative"
 
     @property
     def num_pixels(self) -> int:

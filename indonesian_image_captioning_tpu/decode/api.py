@@ -47,6 +47,7 @@ def caption_beam_search(params, cfg: ModelConfig, enc, tags, *,
         seq_len=beam_cfg.max_steps + 1,
         emit_specs=emit_specs,
         length_penalty=beam_cfg.length_penalty,
+        topk_backend=cfg.topk_backend,
     )
 
 

@@ -47,6 +47,8 @@ from typing import Callable, Dict, Optional, Tuple
 import jax
 import jax.numpy as jnp
 
+from ..ops.topk_pallas import row_topk
+
 NEG_INF = -1e30  # large-but-finite sentinel keeps top_k well behaved
 
 
@@ -69,6 +71,7 @@ def beam_search(
     seq_len: int = 52,
     emit_specs: Optional[Dict[str, Tuple[int, ...]]] = None,
     length_penalty: float = 0.0,
+    topk_backend: str = "lax",
 ) -> Dict[str, jax.Array]:
     """Run batched beam search.
 
@@ -137,7 +140,8 @@ def beam_search(
             cand = jnp.maximum(cand, NEG_INF)              # clamp dead lanes
             cand = jnp.where(c["scores"][:, :, None] <= NEG_INF, NEG_INF,
                              cand)
-            top_vals, top_idx = jax.lax.top_k(cand.reshape(B, K * V), K)
+            top_vals, top_idx = row_topk(cand.reshape(B, K * V), K,
+                                         topk_backend)
             prev_lane = top_idx // V                       # (B, K)
             next_word = top_idx % V
 

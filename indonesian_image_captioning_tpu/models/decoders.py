@@ -271,7 +271,8 @@ def make_beam_step(params, cfg: ModelConfig, enc, tags):
             # the scores are bitwise identical to the dense path.
             B, K, V = logits.shape
             flat = jax.nn.log_softmax(logits.reshape(B * K, V), axis=-1)
-            topv, topi = jax.lax.top_k(flat, K)         # (B*K, K)
+            from ..ops.topk_pallas import row_topk
+            topv, topi = row_topk(flat, K, cfg.topk_backend)  # (B*K, K)
             return (topv.reshape(B, K, K), topi.reshape(B, K, K)), \
                 {"h": h, "c": c}, emit
         logprobs = jax.nn.log_softmax(logits, axis=-1)
