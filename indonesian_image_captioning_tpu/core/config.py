@@ -43,12 +43,25 @@ class ModelConfig:
     # flagship dims (1.7-2.4 vs 1.2-1.3 ms/step, B=1024/bf16/v5e) — XLA's
     # fusion of the 4 fused matmuls is already near its roofline.  Opt-in.
     fused_cell: bool = False
-    # Use the fused Pallas additive-attention kernel
-    # (ops/attention_pallas.py) in beam search.  Exact, but measured SLOWER
-    # than XLA's fused attend at flagship dims (5.7 vs 2.4 ms/step,
-    # B=1024/bf16/v5e) — XLA already avoids the (B, K, P, A) HBM round
-    # trip.  Kept opt-in; see ops/attention_pallas.py for measurements.
-    fused_attention: bool = False
+    # Attention-step implementation for beam search (all exact,
+    # tests/test_attention_pallas.py):
+    #   "auto"       — "pallas_mxu" on TPU, "xla" on CPU (where Pallas
+    #                  would run in slow interpret mode); resolved once in
+    #                  decoders.make_beam_step
+    #   "xla"        — attend, (B, K, P, A) relu layout (round-1 default)
+    #   "xla_pk"     — attend_pk, (B, P, K, A) layout: beams innermost so
+    #                  the fused consumer re-reads enc_att rows from
+    #                  registers instead of HBM
+    #   "pallas"     — ops/attention_pallas.attend_fused (VPU lane-reduce)
+    #   "pallas_mxu" — attend_fused_mxu (full_att contraction on the MXU)
+    # Full-decode ground truth (v5e, sparse+iterative head, bf16,
+    # 2026-08-16): B=1024 — xla 270.1 ms, xla_pk 248.5, pallas 249.1,
+    # pallas_mxu 248.1;  B=2048 — xla_pk 523.2 ms (3914 captions/s),
+    # pallas 510.2 (4014), pallas_mxu 510.6 (4011).  The round-1 verdict
+    # ("XLA attend wins, 2.4 vs 5.7 ms") inverted once the head stopped
+    # dominating the loop: both Pallas attention kernels now beat XLA
+    # in-loop, so the MXU-contraction kernel is the TPU default.
+    attention_impl: str = "auto"
     # Sparse beam head: per-lane top-k of the logprobs feeds the beam's flat
     # merge K*k candidates instead of the K*V dense table (decode/beam.py
     # module docstring proves exactness, ties included).  With the

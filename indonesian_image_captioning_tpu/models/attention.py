@@ -35,6 +35,25 @@ def precompute(params, enc):
     return linear(params["encoder_att"], enc)
 
 
+def attend_pk(params, enc, enc_att, h):
+    """:func:`attend` with the relu pre-activation laid out (B, P, K, A)
+    instead of (B, K, P, A), so a fused consumer iterates beams innermost
+    and re-reads each enc_att row from registers rather than HBM.  Same
+    math; reduction orders (and hence low bits) can differ from attend.
+
+    enc/enc_att: (B, 1, P, ·) or (B, P, ·);  h: (B, K, D).
+    Returns (awe (B, K, E), alpha (B, K, P)).
+    """
+    enc3 = enc[:, 0] if enc.ndim == 4 else enc                # (B, P, E)
+    ea3 = enc_att[:, 0] if enc_att.ndim == 4 else enc_att     # (B, P, A)
+    dec = linear(params["decoder_att"], h)                    # (B, K, A)
+    e = jax.nn.relu(ea3[:, :, None, :] + dec[:, None, :, :])  # (B, P, K, A)
+    att = jnp.squeeze(linear(params["full_att"], e), -1)      # (B, P, K)
+    alpha = jax.nn.softmax(att, axis=1)
+    awe = jnp.einsum("bpk,bpe->bke", alpha, enc3)
+    return awe, jnp.swapaxes(alpha, 1, 2)
+
+
 def attend(params, enc, enc_att, h):
     """One attention step.
 

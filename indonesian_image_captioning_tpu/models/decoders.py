@@ -198,9 +198,18 @@ def make_beam_step(params, cfg: ModelConfig, enc, tags):
     if is_scn:
         sx, sh = scn_cell.semantic_projections(cell, tags)
         inv["sem_x"], inv["sem_h"] = sx[:, None], sh[:, None]
+    # "auto" resolves per backend: the Pallas kernels win on TPU but would
+    # run in interpret mode on CPU.  Explicit values are always honored
+    # (CPU + explicit "pallas*" = interpret mode, exact but slow — how the
+    # beam-integration tests drive the kernels).
+    attention_impl = cfg.attention_impl
+    if attention_impl == "auto":
+        attention_impl = ("pallas_mxu" if jax.default_backend() != "cpu"
+                          else "xla")
+
     if cfg.uses_attention:
         enc_att = attn.precompute(params["attention"], enc_flat)
-        if cfg.fused_attention:
+        if attention_impl.startswith("pallas"):
             # pre-pad the loop invariants ONCE (a pad inside the beam
             # while_loop costs more than the kernel — see attention_pallas)
             from ..ops.attention_pallas import pad_pixels
@@ -235,11 +244,18 @@ def make_beam_step(params, cfg: ModelConfig, enc, tags):
         emb = params["embedding"][prev_words]           # (B, K, Emb)
         emit = {}
         if cfg.uses_attention:
-            if cfg.fused_attention:
-                from ..ops.attention_pallas import attend_fused
-                awe, alpha = attend_fused(
+            impl = attention_impl
+            if impl.startswith("pallas"):
+                from ..ops.attention_pallas import (attend_fused,
+                                                    attend_fused_mxu)
+                fused = attend_fused_mxu if impl == "pallas_mxu" \
+                    else attend_fused
+                awe, alpha = fused(
                     params["attention"], inv["enc"], inv["enc_att"], h,
                     p_actual=enc_flat.shape[1])
+            elif impl == "xla_pk":
+                awe, alpha = attn.attend_pk(
+                    params["attention"], inv["enc"], inv["enc_att"], h)
             else:
                 awe, alpha = attn.attend(
                     params["attention"], inv["enc"], inv["enc_att"], h)

@@ -3,14 +3,16 @@
 The decode-time hot spot (reference models/attention.py:6-44 runs this per
 beam step; models/decoders/attention_scn.py:217-290).
 
-**Measured verdict (v5e, B=1024, K=5, P=196, A=512, E=2048, bf16,
-on-device fori_loop timing)**: XLA's fusion already keeps the (B, K, P, A)
-relu pre-activation out of HBM and runs the step in ~2.4 ms; these kernels
-are exact but slower (~5.7 ms standard layout across G=1/2/4 image tiles,
-~7.5 ms transposed layout) — the VPU relu+reduce work dominates and XLA's
-codegen for it beats both hand layouts here.  They therefore stay OPT-IN
-(``ModelConfig.fused_attention=False`` default) as exact, tested building
-blocks; the honest win at these dims is XLA.
+**Measured verdict (v5e, B=1024/2048, K=5, P=196, A=512, E=2048, bf16)**:
+the round-1 in-loop step timings (XLA attend 2.4 ms vs attend_fused
+5.7 ms) inverted once the vocab head stopped dominating the decode loop
+(ops/topk_pallas.py): in FULL 51-step decodes the Pallas kernels now win —
+B=2048: attend_fused 510.2 ms/batch, attend_fused_mxu 510.6, XLA (B,P,K,A)
+layout 523.2, round-1 XLA layout ~560 (2026-08-16).  The MXU-contraction
+kernel (:func:`attend_fused_mxu`, below) is the TPU default
+(``ModelConfig.attention_impl="auto"``); the transposed-layout variant at
+the bottom remains the one measured loser (~7.5 ms/step), kept as a
+documented building block.
 
 Each kernel computes the whole attention step per image tile in VMEM:
 
@@ -161,6 +163,108 @@ def attend_fused(att_params, enc, enc_att, h, *, p_actual=None,
             pl.BlockSpec((G, K, A), lambda b: (b, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, A), lambda b: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((G, K, E), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((G, K, Pp), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(jax.ShapeDtypeStruct((B, K, E), enc3.dtype),
+                   jax.ShapeDtypeStruct((B, K, Pp), enc3.dtype)),
+        interpret=interpret,
+    )(enc3, enc_att3, dec.astype(enc3.dtype), wf)
+    return awe, alpha[:, :, :P]
+
+
+# ---------------------------------------------------------------------------
+# MXU-contraction variant: the standard-layout kernel above spends its time
+# in the per-beam cross-lane reduce `sum(e * wf, axis=1)` (a log-shuffle VPU
+# pattern).  Here that contraction runs on the MXU as a (Pp, A) x (A, 1)
+# matmul per beam — the relu slab is consumed straight out of registers and
+# the VPU only does the add+relu.
+# ---------------------------------------------------------------------------
+
+def _make_kernel_mxu(G: int, K: int, P_actual: int):
+    def kernel(enc_ref, enc_att_ref, dec_ref, wf_ref, awe_ref, alpha_ref):
+        wf = wf_ref[:].astype(enc_att_ref.dtype)           # (A, 1)
+        for g in range(G):
+            ea = enc_att_ref[g]                            # (Pp, A)
+            dk = dec_ref[g]                                # (K, A)
+            cols = []
+            for k in range(K):
+                e = jnp.maximum(ea + dk[k:k + 1, :], 0)    # (Pp, A) VPU
+                cols.append(jax.lax.dot_general(
+                    e, wf, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32))   # (Pp, 1) MXU
+            att = jnp.concatenate(cols, axis=1)            # (Pp, K) f32
+            Pp = att.shape[0]
+            if P_actual < Pp:
+                rows = jax.lax.broadcasted_iota(jnp.int32, (Pp, K), 0)
+                att = jnp.where(rows < P_actual, att, NEG_INF)
+            m = jnp.max(att, axis=0, keepdims=True)        # (1, K)
+            ex = jnp.exp(att - m)
+            s = jnp.sum(ex, axis=0, keepdims=True)
+            alpha = ex / s                                 # (Pp, K) f32
+            awe = jax.lax.dot_general(
+                alpha.astype(enc_ref.dtype), enc_ref[g],
+                (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)        # (K, E) MXU
+            awe_ref[g] = awe.astype(awe_ref.dtype)
+            alpha_ref[g] = alpha.T.astype(alpha_ref.dtype)
+
+    return kernel
+
+
+def attend_fused_mxu(att_params, enc, enc_att, h, *, p_actual=None,
+                     interpret=None, img_tile: int = 0):
+    """attend_fused with the full_att contraction on the MXU.  Same
+    signature/semantics as :func:`attend_fused`."""
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    B, K, _ = h.shape
+    enc3 = enc[:, 0] if enc.ndim == 4 else enc
+    enc_att3 = enc_att[:, 0] if enc_att.ndim == 4 else enc_att
+    E = enc3.shape[-1]
+    A = enc_att3.shape[-1]
+    if p_actual is None:
+        P = enc3.shape[-2]
+        enc3 = pad_pixels(enc3)
+        enc_att3 = pad_pixels(enc_att3)
+    else:
+        P = p_actual
+        if enc3.shape[-2] % 16:
+            raise ValueError("pre-padded inputs must be 16-aligned; use "
+                             "ops.attention_pallas.pad_pixels")
+    Pp = enc3.shape[-2]
+
+    if img_tile <= 0:
+        # the compiler enforces a 16 MB scoped-VMEM limit per kernel; a
+        # 9 MB double-buffered input budget -> G=4 at bf16 flagship dims
+        # (G=8 overflows: measured "scoped allocation 16.31M > 16.00M")
+        per_img = Pp * (E + A) * enc3.dtype.itemsize
+        img_tile = max(1, (9 << 20) // (2 * per_img))
+    G = img_tile
+    while B % G:
+        G -= 1
+
+    dec = (h @ att_params["decoder_att"]["w"]
+           + att_params["decoder_att"]["b"])               # (B, K, A)
+    wf = att_params["full_att"]["w"].astype(jnp.float32)   # (A, 1)
+
+    kernel = _make_kernel_mxu(G, K, P)
+    awe, alpha = pl.pallas_call(
+        kernel,
+        grid=(B // G,),
+        in_specs=[
+            pl.BlockSpec((G, Pp, E), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((G, Pp, A), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((G, K, A), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((A, 1), lambda b: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=(

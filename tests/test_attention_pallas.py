@@ -41,11 +41,46 @@ def test_beam_decode_fused_attention_matches(rng):
     bc = BeamConfig(beam_size=3, max_steps=9)
     out_x = caption_beam_search(params, cfg, enc, tags, start_id=38,
                                 end_id=39, beam_cfg=bc, record_alphas=True)
-    cfg_f = dataclasses.replace(cfg, fused_attention=True)
-    out_f = caption_beam_search(params, cfg_f, enc, tags, start_id=38,
-                                end_id=39, beam_cfg=bc, record_alphas=True)
-    np.testing.assert_array_equal(np.asarray(out_x["sequences"]),
-                                  np.asarray(out_f["sequences"]))
-    np.testing.assert_allclose(np.asarray(out_x["alpha"]),
-                               np.asarray(out_f["alpha"]), rtol=1e-4,
-                               atol=1e-5)
+    for impl in ("pallas", "pallas_mxu", "xla_pk"):
+        cfg_f = dataclasses.replace(cfg, attention_impl=impl)
+        out_f = caption_beam_search(params, cfg_f, enc, tags, start_id=38,
+                                    end_id=39, beam_cfg=bc,
+                                    record_alphas=True)
+        np.testing.assert_array_equal(np.asarray(out_x["sequences"]),
+                                      np.asarray(out_f["sequences"]),
+                                      err_msg=impl)
+        np.testing.assert_allclose(np.asarray(out_x["alpha"]),
+                                   np.asarray(out_f["alpha"]), rtol=1e-4,
+                                   atol=1e-5, err_msg=impl)
+
+
+def test_attend_fused_mxu_matches_xla(rng):
+    from indonesian_image_captioning_tpu.ops.attention_pallas import (
+        attend_fused_mxu)
+    B, K, P, E, D, A = 4, 5, 12, 32, 16, 24
+    params = attn.init_attention(jax.random.key(1), E, D, A)
+    enc = jnp.asarray(rng.normal(size=(B, 1, P, E)), jnp.float32)
+    h = jnp.asarray(rng.normal(size=(B, K, D)), jnp.float32)
+    enc_att = attn.precompute(params, enc)
+    awe_ref, alpha_ref = attn.attend(params, enc, enc_att, h)
+    for g in (1, 2, 4):
+        awe, alpha = attend_fused_mxu(params, enc, enc_att, h,
+                                      interpret=True, img_tile=g)
+        np.testing.assert_allclose(np.asarray(alpha), np.asarray(alpha_ref),
+                                   rtol=1e-4, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(awe), np.asarray(awe_ref),
+                                   rtol=1e-4, atol=1e-4)
+
+
+def test_attend_pk_matches_attend(rng):
+    B, K, P, E, D, A = 3, 4, 9, 32, 16, 24
+    params = attn.init_attention(jax.random.key(2), E, D, A)
+    enc = jnp.asarray(rng.normal(size=(B, 1, P, E)), jnp.float32)
+    h = jnp.asarray(rng.normal(size=(B, K, D)), jnp.float32)
+    enc_att = attn.precompute(params, enc)
+    awe_ref, alpha_ref = attn.attend(params, enc, enc_att, h)
+    awe, alpha = attn.attend_pk(params, enc, enc_att, h)
+    np.testing.assert_allclose(np.asarray(alpha), np.asarray(alpha_ref),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(awe), np.asarray(awe_ref),
+                               rtol=1e-5, atol=1e-5)

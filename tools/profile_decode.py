@@ -335,7 +335,7 @@ def main():
             jax.random.key(6), (B, cfg.semantic_dim)).astype(dt)
         enc4 = enc.reshape(B, cfg.enc_image_size, cfg.enc_image_size, E)
         for variant in ({"sparse_head": False}, {"sparse_head": True},
-                        {"sparse_head": True, "fused_attention": True}):
+                        {"sparse_head": True, "attention_impl": "pallas"}):
             c = dataclasses.replace(cfg, **variant)
 
             def run():
