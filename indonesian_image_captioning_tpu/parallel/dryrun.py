@@ -31,6 +31,10 @@ def force_cpu_devices(n_devices: int) -> None:
     import jax
     # wins over sitecustomize-pinned platforms as long as no backend is up
     jax.config.update("jax_platforms", "cpu")
+    # reuse compiled executables across dryrun invocations (same program +
+    # topology + jaxlib -> same key); must be config.update, not env vars
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_compile_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     n = len(jax.devices())
     if n < n_devices:
         raise RuntimeError(
