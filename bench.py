@@ -37,7 +37,7 @@ def _compiled_flops(jitted, *args):
         return None
 
 
-def e2e_main():
+def e2e_main(batch: int = 64):
     """End-to-end serving: uint8 images -> ResNet-152 encode + tag ->
     batched beam-5 decode.  Reports images/s/chip and encoder MFU."""
     from indonesian_image_captioning_tpu.core import runtime
@@ -65,7 +65,7 @@ def e2e_main():
         if jnp.issubdtype(x.dtype, jnp.floating) else x, t)
     state = jax.device_put(cast(state))
 
-    B = 64
+    B = batch
     # device-resident input: through the axon relay a host->device copy of
     # the uint8 batch costs ~1 s/call and would swamp the chip time; real
     # deployments feed over local PCIe (and data/loader.py prefetches)
@@ -197,9 +197,10 @@ if __name__ == "__main__":
                          "e2e = uint8 image -> caption serving + MFU")
     # 2048 saturates the chip (3592 captions/s vs 3480 at 1024, 3581 at
     # 4096 — measured 2026-08-16)
-    ap.add_argument("--batch", type=int, default=2048)
+    ap.add_argument("--batch", type=int, default=None,
+                    help="default: 2048 for decode, 256 for e2e")
     args = ap.parse_args()
     if args.mode == "e2e":
-        e2e_main()
+        e2e_main(args.batch or 256)
     else:
-        main(args.batch)
+        main(args.batch or 2048)
