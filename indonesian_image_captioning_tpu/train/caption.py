@@ -194,7 +194,7 @@ def main(model_type: str,
         # encoder/tagger (replicated) onto the mesh, then build the SPMD step
         state = sh.place_state(mesh, state, shard_vocab=shard_vocab)
         from ..parallel.train_step import make_parallel_caption_train_step
-        encode_fn = steps.make_encoders_fn(cfg)
+        encode_fn = steps.make_encoders_fn(cfg, tcfg.encoder_dtype)
         train_step = make_parallel_caption_train_step(
             cfg, tcfg, optimizer, mesh,
             {"params": state["params"], "opt_state": state["opt_state"]},

@@ -138,7 +138,7 @@ def make_caption_train_step(cfg: ModelConfig, tcfg: TrainConfig,
     (deterministic) — deliberately NOT replicating the reference's
     dropout-at-train-time bug (SURVEY.md §5).
     """
-    encode_fn = make_encoders_fn(cfg)
+    encode_fn = make_encoders_fn(cfg, tcfg.encoder_dtype)
 
     def step(substate, enc_out, tags, captions, caplens, rng):
         def loss_fn(params):
@@ -167,7 +167,7 @@ def make_caption_eval_step(cfg: ModelConfig, tcfg: TrainConfig):
     """Returns (encode_fn, step): jitted validation metrics + teacher-forced
     argmax preds (the reference's validate() scores argmax hypotheses with
     corpus BLEU, trains/attention_scn.py:366-377)."""
-    encode_fn = make_encoders_fn(cfg)
+    encode_fn = make_encoders_fn(cfg, tcfg.encoder_dtype)
 
     @jax.jit
     def step(params, enc_out, tags, captions, caplens):
