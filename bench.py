@@ -195,8 +195,11 @@ if __name__ == "__main__":
     ap.add_argument("--mode", choices=("decode", "e2e"), default="decode",
                     help="decode = headline captions/s (driver default); "
                          "e2e = uint8 image -> caption serving + MFU")
-    # 2048 saturates the chip (3592 captions/s vs 3480 at 1024, 3581 at
-    # 4096 — measured 2026-08-16)
+    # saturation with the round-2 kernels (same-session sweep, 2026-08-17):
+    # 2048 -> 4016, 3072 -> 4172, 4096 -> 4174 captions/s; 6144+ fails to
+    # fit.  4096 is +4% but its first compile sporadically exceeds 15 min
+    # through the remote-compile tunnel — 2048 stays the default so the
+    # driver run is reliable; pass --batch 4096 for the peak number.
     ap.add_argument("--batch", type=int, default=None,
                     help="default: 2048 for decode, 256 for e2e")
     args = ap.parse_args()
