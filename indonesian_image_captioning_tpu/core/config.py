@@ -85,6 +85,32 @@ class ModelConfig:
     #   topk_backend="iterative" is the production default (+12%
     #   captions/s over round 1).
     topk_backend: str = "iterative"
+    # Beam-decode implementation:
+    #   "steps" — the step-loop engine (decode/beam.py): a lax.while_loop
+    #             whose body runs one decode step; re-reads enc/enc_att
+    #             from HBM every step.
+    #   "fused" — the full-decode Pallas megakernel (ops/decode_pallas.py):
+    #             every beam step runs on-chip with the encoder state
+    #             VMEM-resident; selection records replay through the same
+    #             bookkeeping (decode/replay.py).  attention_scn only, no
+    #             alpha recording.  Semantically validated
+    #             (tests/test_decode_fused.py) but measured 4.2x SLOWER
+    #             than the step engine at bench dims (1049 vs 248 ms/batch,
+    #             B=1024 bf16 v5e, 2026-08-17): with only G*K = 80 rows
+    #             per chunk the per-step weight matmuls and the full-width
+    #             vocab top-k lose more to poor utilisation than the
+    #             eliminated 1.09 GB/step enc re-read saves.  Kept opt-in
+    #             as the base for future single-pass head/attention work.
+    #   "auto"  — currently "steps" everywhere (the measured winner).
+    decode_impl: str = "auto"
+    # Encoder-state precision for beam decode (serving knob).  The
+    # attention step is ~89% HBM DMA of the loop-invariant enc/enc_att
+    # (tools/exp_attend_parts.py); "int8" stores both quantized with
+    # per-(image, pixel) symmetric scales — half the bytes, ~0.4% relative
+    # activation error (ops/attention_pallas.attend_fused_q).  Lossy:
+    # beam picks can differ from the bf16 path in near-ties.  Default off;
+    # eval paths keep full precision.
+    enc_quant: str = "none"               # "none" | "int8"
 
     @property
     def num_pixels(self) -> int:

@@ -31,6 +31,26 @@ def caption_beam_search(params, cfg: ModelConfig, enc, tags, *,
     (optionally) per-step attention `alpha` (B, L, P).
     """
     enc_flat = decoders.flatten_encoding(enc, cfg.encoder_dim)
+
+    from ..ops.decode_pallas import pick_img_tile
+
+    fusable = (cfg.model_type == "attention_scn" and not record_alphas
+               and pick_img_tile(enc_flat.shape[0],
+                                 beam_cfg.beam_size) is not None)
+    # "auto" resolves to the step engine: the fused megakernel measured
+    # 4.2x slower at bench dims (see ModelConfig.decode_impl).
+    impl = "steps" if cfg.decode_impl == "auto" else cfg.decode_impl
+    if impl == "fused" and fusable:
+        from ..ops.decode_pallas import beam_decode_records
+        from .replay import replay_beam_records
+        records = beam_decode_records(
+            params, cfg, enc_flat, tags, beam_size=beam_cfg.beam_size,
+            start_id=start_id, end_id=end_id, max_steps=beam_cfg.max_steps)
+        return replay_beam_records(
+            records, start_id=start_id, end_id=end_id,
+            seq_len=beam_cfg.max_steps + 1,
+            length_penalty=beam_cfg.length_penalty)
+
     init_state_fn, step_fn = decoders.make_beam_step(params, cfg, enc_flat, tags)
     emit_specs = {}
     if record_alphas and cfg.uses_attention:

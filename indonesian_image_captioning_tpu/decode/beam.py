@@ -58,6 +58,146 @@ def _gather_lanes(x, lane_idx):
     return jnp.take_along_axis(x, idx, axis=1)
 
 
+def _apply_selection(c, top_vals, prev_lane, next_word, new_state, emit,
+                     *, end_id: int):
+    """Selection-independent beam bookkeeping for ONE step.
+
+    Given this step's flat-top-k selection (top_vals (B, K) cumulative
+    scores, prev_lane (B, K) parent lanes, next_word (B, K) token ids),
+    extend sequences, retire completed lanes into the pools, reorder the
+    decoder state, and freeze finished batch rows.  Shared verbatim by the
+    live engine (:func:`beam_search`) and the fused-decode replay
+    (decode/replay.py) so both have IDENTICAL semantics.  ``new_state`` may
+    be None (replay has no decoder state).
+    """
+    B, K = top_vals.shape
+    step = c["step"]
+    rank = jnp.arange(K)
+    b_idx = jnp.arange(B)
+    active = c["alive_count"] > 0                          # (B,)
+
+    valid = (rank[None, :] < c["alive_count"][:, None]) \
+        & (top_vals > NEG_INF) & active[:, None]
+    is_end = valid & (next_word == end_id)
+    cont = valid & ~is_end
+
+    # Extend sequences (uniform growth: every lane writes position
+    # `step`; invalid lanes are garbage but carry -inf scores).
+    new_seqs = _gather_lanes(c["seqs"], prev_lane)
+    new_seqs = new_seqs.at[:, :, step].set(next_word)
+    new_emits = {}
+    for n, buf in c["emits"].items():
+        buf = _gather_lanes(buf, prev_lane)
+        val = emit[n].astype(buf.dtype)
+        new_emits[n] = buf.at[:, :, step].set(val)
+
+    # Retire completed lanes into the pools.
+    offs = jnp.cumsum(is_end.astype(jnp.int32), axis=1) - 1
+    slot = jnp.where(is_end, c["comp_count"][:, None] + offs, K)  # K=drop
+    comp_seqs = c["comp_seqs"].at[b_idx[:, None], slot].set(
+        new_seqs, mode="drop")
+    comp_scores = c["comp_scores"].at[b_idx[:, None], slot].set(
+        top_vals, mode="drop")
+    comp_lens = c["comp_lens"].at[b_idx[:, None], slot].set(
+        step + 1, mode="drop")
+    comp_emits = {
+        n: c["comp_emits"][n].at[b_idx[:, None], slot].set(
+            new_emits[n], mode="drop")
+        for n in new_emits}
+    n_done = is_end.sum(axis=1).astype(jnp.int32)
+
+    new_scores = jnp.where(cont, top_vals, NEG_INF)
+    reordered = jax.tree.map(
+        lambda x: _gather_lanes(x, prev_lane), new_state)
+
+    # Freeze finished batch rows.
+    frz = lambda new, old: jnp.where(
+        active.reshape((B,) + (1,) * (new.ndim - 1)), new, old)
+    return dict(
+        step=step + 1,
+        state=jax.tree.map(frz, reordered, c["state"]),
+        prev_words=jnp.where(active[:, None], next_word, c["prev_words"]),
+        scores=frz(new_scores, c["scores"]),
+        alive_count=jnp.where(active, c["alive_count"] - n_done,
+                              c["alive_count"]),
+        seqs=frz(new_seqs, c["seqs"]),
+        emits={n: frz(new_emits[n], c["emits"][n]) for n in new_emits},
+        comp_seqs=frz(comp_seqs, c["comp_seqs"]),
+        comp_scores=frz(comp_scores, c["comp_scores"]),
+        comp_lens=frz(comp_lens, c["comp_lens"]),
+        comp_count=jnp.where(active, c["comp_count"] + n_done,
+                             c["comp_count"]),
+        comp_emits={n: frz(comp_emits[n], c["comp_emits"][n])
+                    for n in comp_emits},
+    )
+
+
+def init_carry(init_state, *, batch_size: int, beam_size: int,
+               seq_len: int, start_id: int, emit_specs=None):
+    """Initial while/scan carry shared by engine and replay."""
+    B, K, L = batch_size, beam_size, seq_len
+    emit_specs = emit_specs or {}
+    seqs = jnp.zeros((B, K, L), jnp.int32).at[:, :, 0].set(start_id)
+    # Lane 0 holds the single <start> hypothesis; other lanes dead. The
+    # first iteration then selects K expansions of lane 0, replicating the
+    # reference's step-1 special case (attention_scn.py:242-244).
+    scores = jnp.full((B, K), NEG_INF, jnp.float32).at[:, 0].set(0.0)
+    emits = {n: jnp.zeros((B, K, L) + tuple(s), jnp.float32)
+             for n, s in emit_specs.items()}
+    return dict(
+        step=jnp.asarray(1, jnp.int32), state=init_state,
+        prev_words=jnp.full((B, K), start_id, jnp.int32), scores=scores,
+        alive_count=jnp.full((B,), K, jnp.int32), seqs=seqs, emits=emits,
+        comp_seqs=jnp.zeros((B, K, L), jnp.int32),
+        comp_scores=jnp.full((B, K), NEG_INF, jnp.float32),
+        comp_lens=jnp.zeros((B, K), jnp.int32),
+        comp_count=jnp.zeros((B,), jnp.int32),
+        comp_emits={n: jnp.zeros_like(v) for n, v in emits.items()})
+
+
+def finalize(out, *, seq_len: int, length_penalty: float = 0.0,
+             emit_names=()):
+    """Best completed sequence, else best live beam (crash-free fallback)."""
+    B = out["scores"].shape[0]
+    L = seq_len
+    live_len = jnp.minimum(out["step"], L).astype(jnp.int32)
+    has_comp = out["comp_count"] > 0
+
+    def rank_score(s, lens):
+        if length_penalty > 0.0:
+            return s / (lens.astype(jnp.float32) ** length_penalty)
+        return s
+
+    comp_best = jnp.argmax(
+        rank_score(out["comp_scores"], out["comp_lens"]), axis=1)
+    live_best = jnp.argmax(out["scores"], axis=1)
+
+    def pick(comp_buf, live_buf, live_fallback_idx):
+        csel = jnp.take_along_axis(
+            comp_buf, comp_best.reshape((B,) + (1,) * (comp_buf.ndim - 1)),
+            axis=1)[:, 0]
+        lsel = jnp.take_along_axis(
+            live_buf, live_fallback_idx.reshape(
+                (B,) + (1,) * (live_buf.ndim - 1)), axis=1)[:, 0]
+        mask = has_comp.reshape((B,) + (1,) * (csel.ndim - 1))
+        return jnp.where(mask, csel, lsel)
+
+    K = out["scores"].shape[1]
+    result = {
+        "sequences": pick(out["comp_seqs"], out["seqs"], live_best),
+        "scores": pick(out["comp_scores"], out["scores"], live_best),
+        "lengths": pick(out["comp_lens"],
+                        jnp.broadcast_to(live_len[None].T, (B, K)), live_best),
+        "completed_sequences": out["comp_seqs"],
+        "completed_scores": out["comp_scores"],
+        "completed_lengths": out["comp_lens"],
+        "completed_count": out["comp_count"],
+    }
+    for n in emit_names:
+        result[n] = pick(out["comp_emits"][n], out["emits"][n], live_best)
+    return result
+
+
 def beam_search(
     step_fn: Callable,
     init_state,
@@ -85,43 +225,17 @@ def beam_search(
       `completed_*` pools for inspection.
     """
     B, K, V = batch_size, beam_size, vocab_size
-    L = seq_len
     emit_specs = emit_specs or {}
 
-    seqs = jnp.zeros((B, K, L), jnp.int32).at[:, :, 0].set(start_id)
-    # Lane 0 holds the single <start> hypothesis; other lanes dead. The
-    # first iteration then selects K expansions of lane 0, replicating the
-    # reference's step-1 special case (attention_scn.py:242-244).
-    scores = jnp.full((B, K), NEG_INF, jnp.float32).at[:, 0].set(0.0)
-    prev_words = jnp.full((B, K), start_id, jnp.int32)
-    alive_count = jnp.full((B,), K, jnp.int32)
-
-    emits = {n: jnp.zeros((B, K, L) + tuple(s), jnp.float32)
-             for n, s in emit_specs.items()}
-    comp_emits = {n: jnp.zeros_like(v) for n, v in emits.items()}
-    comp_seqs = jnp.zeros((B, K, L), jnp.int32)
-    comp_scores = jnp.full((B, K), NEG_INF, jnp.float32)
-    comp_lens = jnp.zeros((B, K), jnp.int32)
-    comp_count = jnp.zeros((B,), jnp.int32)
-
-    b_idx = jnp.arange(B)
-    rank = jnp.arange(K)
-
-    carry = dict(step=jnp.asarray(1, jnp.int32), state=init_state,
-                 prev_words=prev_words, scores=scores,
-                 alive_count=alive_count, seqs=seqs, emits=emits,
-                 comp_seqs=comp_seqs, comp_scores=comp_scores,
-                 comp_lens=comp_lens, comp_count=comp_count,
-                 comp_emits=comp_emits)
+    carry = init_carry(init_state, batch_size=B, beam_size=K,
+                       seq_len=seq_len, start_id=start_id,
+                       emit_specs=emit_specs)
 
     def cond(c):
         return jnp.logical_and(c["step"] <= max_steps,
                                jnp.any(c["alive_count"] > 0))
 
     def body(c):
-        step = c["step"]
-        active = c["alive_count"] > 0                      # (B,)
-
         head, new_state, emit = step_fn(c["state"], c["prev_words"])
         if isinstance(head, tuple):
             # sparse head: per-lane top-k candidates (see module docstring)
@@ -145,96 +259,9 @@ def beam_search(
             prev_lane = top_idx // V                       # (B, K)
             next_word = top_idx % V
 
-        valid = (rank[None, :] < c["alive_count"][:, None]) \
-            & (top_vals > NEG_INF) & active[:, None]
-        is_end = valid & (next_word == end_id)
-        cont = valid & ~is_end
-
-        # Extend sequences (uniform growth: every lane writes position
-        # `step`; invalid lanes are garbage but carry -inf scores).
-        new_seqs = _gather_lanes(c["seqs"], prev_lane)
-        new_seqs = new_seqs.at[:, :, step].set(next_word)
-        new_emits = {}
-        for n, buf in c["emits"].items():
-            buf = _gather_lanes(buf, prev_lane)
-            val = emit[n].astype(buf.dtype)
-            new_emits[n] = buf.at[:, :, step].set(val)
-
-        # Retire completed lanes into the pools.
-        offs = jnp.cumsum(is_end.astype(jnp.int32), axis=1) - 1
-        slot = jnp.where(is_end, c["comp_count"][:, None] + offs, K)  # K=drop
-        comp_seqs = c["comp_seqs"].at[b_idx[:, None], slot].set(
-            new_seqs, mode="drop")
-        comp_scores = c["comp_scores"].at[b_idx[:, None], slot].set(
-            top_vals, mode="drop")
-        comp_lens = c["comp_lens"].at[b_idx[:, None], slot].set(
-            step + 1, mode="drop")
-        comp_emits = {
-            n: c["comp_emits"][n].at[b_idx[:, None], slot].set(
-                new_emits[n], mode="drop")
-            for n in new_emits}
-        n_done = is_end.sum(axis=1).astype(jnp.int32)
-
-        new_scores = jnp.where(cont, top_vals, NEG_INF)
-        reordered = jax.tree.map(
-            lambda x: _gather_lanes(x, prev_lane), new_state)
-
-        # Freeze finished batch rows.
-        frz = lambda new, old: jnp.where(
-            active.reshape((B,) + (1,) * (new.ndim - 1)), new, old)
-        return dict(
-            step=step + 1,
-            state=jax.tree.map(frz, reordered, c["state"]),
-            prev_words=jnp.where(active[:, None], next_word, c["prev_words"]),
-            scores=frz(new_scores, c["scores"]),
-            alive_count=jnp.where(active, c["alive_count"] - n_done,
-                                  c["alive_count"]),
-            seqs=frz(new_seqs, c["seqs"]),
-            emits={n: frz(new_emits[n], c["emits"][n]) for n in new_emits},
-            comp_seqs=frz(comp_seqs, c["comp_seqs"]),
-            comp_scores=frz(comp_scores, c["comp_scores"]),
-            comp_lens=frz(comp_lens, c["comp_lens"]),
-            comp_count=jnp.where(active, c["comp_count"] + n_done,
-                                 c["comp_count"]),
-            comp_emits={n: frz(comp_emits[n], c["comp_emits"][n])
-                        for n in comp_emits},
-        )
+        return _apply_selection(c, top_vals, prev_lane, next_word,
+                                new_state, emit, end_id=end_id)
 
     out = jax.lax.while_loop(cond, body, carry)
-
-    # Best completed sequence, else best live beam (crash-free fallback).
-    live_len = jnp.minimum(out["step"], L).astype(jnp.int32)
-    has_comp = out["comp_count"] > 0
-
-    def rank_score(s, lens):
-        if length_penalty > 0.0:
-            return s / (lens.astype(jnp.float32) ** length_penalty)
-        return s
-
-    comp_best = jnp.argmax(
-        rank_score(out["comp_scores"], out["comp_lens"]), axis=1)
-    live_best = jnp.argmax(out["scores"], axis=1)
-
-    def pick(comp_buf, live_buf, live_fallback_idx):
-        csel = jnp.take_along_axis(
-            comp_buf, comp_best.reshape((B,) + (1,) * (comp_buf.ndim - 1)),
-            axis=1)[:, 0]
-        lsel = jnp.take_along_axis(
-            live_buf, live_fallback_idx.reshape(
-                (B,) + (1,) * (live_buf.ndim - 1)), axis=1)[:, 0]
-        mask = has_comp.reshape((B,) + (1,) * (csel.ndim - 1))
-        return jnp.where(mask, csel, lsel)
-
-    result = {
-        "sequences": pick(out["comp_seqs"], out["seqs"], live_best),
-        "scores": pick(out["comp_scores"], out["scores"], live_best),
-        "lengths": pick(out["comp_lens"],
-                        jnp.broadcast_to(live_len[None].T, (B, K)), live_best),
-        "completed_sequences": out["comp_seqs"],
-        "completed_scores": out["comp_scores"],
-        "completed_lengths": out["comp_lens"],
-        "completed_count": out["comp_count"],
-    }
-    for n in emit_specs:
-        result[n] = pick(out["comp_emits"][n], out["emits"][n], live_best)
-    return result
+    return finalize(out, seq_len=seq_len, length_penalty=length_penalty,
+                    emit_names=tuple(emit_specs))
