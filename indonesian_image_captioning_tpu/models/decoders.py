@@ -207,9 +207,17 @@ def make_beam_step(params, cfg: ModelConfig, enc, tags):
         attention_impl = ("pallas_mxu" if jax.default_backend() != "cpu"
                           else "xla")
 
+    enc_quant = cfg.enc_quant
     if cfg.uses_attention:
         enc_att = attn.precompute(params["attention"], enc_flat)
-        if attention_impl.startswith("pallas"):
+        if enc_quant == "int8":
+            # Serving mode: loop-invariant encoder state stored int8 with
+            # per-pixel scales — half the per-step HBM traffic of the
+            # DMA-bound attention step (ops/attention_pallas.py).
+            from ..ops.attention_pallas import quantize_pixels
+            inv["enc_q"], inv["enc_s"] = quantize_pixels(enc_flat)
+            inv["ea_q"], inv["ea_s"] = quantize_pixels(enc_att)
+        elif attention_impl.startswith("pallas"):
             # pre-pad the loop invariants ONCE (a pad inside the beam
             # while_loop costs more than the kernel — see attention_pallas)
             from ..ops.attention_pallas import pad_pixels
@@ -245,7 +253,20 @@ def make_beam_step(params, cfg: ModelConfig, enc, tags):
         emit = {}
         if cfg.uses_attention:
             impl = attention_impl
-            if impl.startswith("pallas"):
+            if enc_quant == "int8":
+                from ..ops.attention_pallas import (attend_fused_q,
+                                                    attend_quant_ref)
+                if impl.startswith("pallas"):
+                    awe, alpha = attend_fused_q(
+                        params["attention"], inv["enc_q"], inv["enc_s"],
+                        inv["ea_q"], inv["ea_s"], h,
+                        p_actual=enc_flat.shape[1])
+                else:
+                    awe, alpha = attend_quant_ref(
+                        params["attention"], inv["enc_q"], inv["enc_s"],
+                        inv["ea_q"], inv["ea_s"], h,
+                        p_actual=enc_flat.shape[1])
+            elif impl.startswith("pallas"):
                 from ..ops.attention_pallas import (attend_fused,
                                                     attend_fused_mxu)
                 fused = attend_fused_mxu if impl == "pallas_mxu" \

@@ -48,6 +48,17 @@ from jax.experimental.pallas import tpu as pltpu
 
 NEG_INF = float("-inf")
 
+# v5e has 128 MB of VMEM; Pallas' default 16 MB scoped limit capped the
+# image tile at G=4.  Raising it lets the G sweep explore larger tiles
+# (double-buffered inputs are the dominant term in the budget).
+_VMEM_LIMIT = 100 * 1024 * 1024
+
+
+def _compiler_params():
+    return pltpu.CompilerParams(
+        dimension_semantics=("arbitrary",),
+        vmem_limit_bytes=_VMEM_LIMIT)
+
 
 def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
@@ -174,6 +185,7 @@ def attend_fused(att_params, enc, enc_att, h, *, p_actual=None,
         out_shape=(jax.ShapeDtypeStruct((B, K, E), enc3.dtype),
                    jax.ShapeDtypeStruct((B, K, Pp), enc3.dtype)),
         interpret=interpret,
+        compiler_params=None if interpret else _compiler_params(),
     )(enc3, enc_att3, dec.astype(enc3.dtype), wf)
     return awe, alpha[:, :, :P]
 
@@ -276,8 +288,300 @@ def attend_fused_mxu(att_params, enc, enc_att, h, *, p_actual=None,
         out_shape=(jax.ShapeDtypeStruct((B, K, E), enc3.dtype),
                    jax.ShapeDtypeStruct((B, K, Pp), enc3.dtype)),
         interpret=interpret,
+        compiler_params=None if interpret else _compiler_params(),
     )(enc3, enc_att3, dec.astype(enc3.dtype), wf)
     return awe, alpha[:, :, :P]
+
+
+# ---------------------------------------------------------------------------
+# v3: the per-image profile of the kernels above is dominated by MXU
+# bubbles, not FLOPs — 5120 tiny (Pp, A) x (A, 1) score matmuls and 1024
+# per-image (Pp, K)^T x (Pp, E) weighted sums per step are each
+# weight-load/pipeline-bound at M = K = 5 rows.  v3 keeps the score
+# contraction on the VPU (fused add+relu+mul+lane-reduce, no matmul) and
+# batches the weighted sum of ``m`` images into ONE block-diagonal
+# contraction: alpha_bd (m*Pp, m*K) x enc_group (m*Pp, E) -> (m*K, E).
+# The zero blocks contribute exact +0.0 terms in accumulation order, so the
+# result is bitwise identical to the per-image dot; the MXU gets m*K dense
+# output rows instead of K.  ``with_alpha=False`` additionally skips the
+# (Pp, K) -> (K, Pp) per-image transpose relayouts when the beam does not
+# record alphas (bench/eval decode paths).
+# ---------------------------------------------------------------------------
+
+def _make_kernel_v3(G: int, K: int, P_actual: int, m: int, with_alpha: bool):
+    def kernel(enc_ref, enc_att_ref, dec_ref, wf_ref, awe_ref, alpha_ref,
+               bd_ref):
+        Pp = enc_att_ref.shape[1]
+        E = enc_ref.shape[2]
+        wf = wf_ref[:].astype(enc_att_ref.dtype)           # (1, A)
+        for base in range(0, G, m):
+            bd_ref[:] = jnp.zeros_like(bd_ref)
+            for j in range(m):
+                g = base + j
+                ea = enc_att_ref[g]                        # (Pp, A)
+                dk = dec_ref[g]                            # (K, A)
+                cols = []
+                for k in range(K):
+                    e = jnp.maximum(ea + dk[k:k + 1, :], 0)
+                    cols.append(jnp.sum(e * wf, axis=1, keepdims=True))
+                att = jnp.concatenate(cols, axis=1).astype(jnp.float32)
+                if P_actual < Pp:
+                    rows = jax.lax.broadcasted_iota(jnp.int32, (Pp, K), 0)
+                    att = jnp.where(rows < P_actual, att, NEG_INF)
+                mx = jnp.max(att, axis=0, keepdims=True)   # (1, K)
+                ex = jnp.exp(att - mx)
+                s = jnp.sum(ex, axis=0, keepdims=True)
+                alpha = ex / s                             # (Pp, K) f32
+                bd_ref[j * Pp:(j + 1) * Pp, j * K:(j + 1) * K] = \
+                    alpha.astype(bd_ref.dtype)
+                if with_alpha:
+                    alpha_ref[g] = alpha.T.astype(alpha_ref.dtype)
+            enc_grp = enc_ref[base:base + m].reshape(m * Pp, E)
+            awe = jax.lax.dot_general(
+                bd_ref[:], enc_grp, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)        # (m*K, E) MXU
+            awe_ref[base:base + m] = awe.reshape(m, K, E).astype(
+                awe_ref.dtype)
+
+    return kernel
+
+
+def attend_fused_v3(att_params, enc, enc_att, h, *, p_actual=None,
+                    interpret=None, img_tile: int = 0, group: int = 8,
+                    with_alpha: bool = True):
+    """Fused attention step, VPU score + block-diagonal grouped awe.
+
+    Same signature/semantics as :func:`attend_fused`, plus:
+      group:      images per block-diagonal weighted-sum contraction
+      with_alpha: when False the returned alpha is None (saves the
+                  per-image (Pp, K) -> (K, Pp) relayout; decode paths that
+                  do not record alphas should pass False)
+    """
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    B, K, _ = h.shape
+    enc3 = enc[:, 0] if enc.ndim == 4 else enc
+    enc_att3 = enc_att[:, 0] if enc_att.ndim == 4 else enc_att
+    E = enc3.shape[-1]
+    A = enc_att3.shape[-1]
+    if p_actual is None:
+        P = enc3.shape[-2]
+        enc3 = pad_pixels(enc3)
+        enc_att3 = pad_pixels(enc_att3)
+    else:
+        P = p_actual
+        if enc3.shape[-2] % 16:
+            raise ValueError("pre-padded inputs must be 16-aligned; use "
+                             "ops.attention_pallas.pad_pixels")
+    Pp = enc3.shape[-2]
+
+    if img_tile <= 0:
+        # 40 MB double-buffered input budget under the raised VMEM limit
+        # -> G=32 at bf16 flagship dims (fastest in the sweep)
+        per_img = Pp * (E + A) * enc3.dtype.itemsize
+        img_tile = max(1, (40 << 20) // (2 * per_img))
+    G = img_tile
+    while B % G:
+        G -= 1
+    m = min(group, G)
+    while G % m:
+        m -= 1
+
+    dec = (h @ att_params["decoder_att"]["w"]
+           + att_params["decoder_att"]["b"])               # (B, K, A)
+    wf = att_params["full_att"]["w"].astype(jnp.float32).reshape(1, A)
+
+    kernel = _make_kernel_v3(G, K, P, m, with_alpha)
+    awe, alpha = pl.pallas_call(
+        kernel,
+        grid=(B // G,),
+        in_specs=[
+            pl.BlockSpec((G, Pp, E), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((G, Pp, A), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((G, K, A), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, A), lambda b: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((G, K, E), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((G, K, Pp), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(jax.ShapeDtypeStruct((B, K, E), enc3.dtype),
+                   jax.ShapeDtypeStruct((B, K, Pp), enc3.dtype)),
+        scratch_shapes=[pltpu.VMEM((m * Pp, m * K), enc3.dtype)],
+        interpret=interpret,
+        compiler_params=None if interpret else _compiler_params(),
+    )(enc3, enc_att3, dec.astype(enc3.dtype), wf)
+    return awe, (alpha[:, :, :P] if with_alpha else None)
+
+
+# ---------------------------------------------------------------------------
+# int8-quantized encoder state: the v3 kernel measured ~89% pure DMA
+# (tools/exp_attend_parts.py: 3.02 ms DMA-only vs 3.40 ms full kernel at
+# B=1024 bf16) — the decode-time attention step is bound by streaming
+# enc (B, Pp, E) + enc_att (B, Pp, A) from HBM every step.  Storing both
+# as int8 with per-(image, pixel) symmetric scales halves the bytes.
+# Schedule identical to v3; the only additions are (a) a one-pass bf16
+# dequant of the enc_att slab and (b) folding the per-pixel enc scale into
+# alpha (the contraction ROW dimension), so the weighted-sum MXU operand
+# is a pure int8 -> bf16 convert with no scale pass.
+#
+# This is a lossy SERVING mode (activation quantization, ~0.4% relative
+# error per element): scores/awe change slightly, so beam picks can differ
+# from the bf16 path in near-ties.  Exactness contract: the kernel matches
+# :func:`attend_quant_ref` (the XLA emulation of the same quantized math),
+# tested in tests/test_attention_quant.py.
+# ---------------------------------------------------------------------------
+
+def quantize_pixels(x, multiple: int = 32):
+    """Per-(image, pixel) symmetric int8 quantization of (..., P, d).
+
+    Pads P to `multiple` (the int8 VMEM sublane tile) and returns
+    (q int8 (..., Pp, d), scale f32 (..., Pp, 1)) with x ~= q * scale.
+    """
+    xp = pad_pixels(x, multiple).astype(jnp.float32)
+    s = jnp.max(jnp.abs(xp), axis=-1, keepdims=True) / 127.0
+    s = jnp.maximum(s, 1e-30)
+    q = jnp.round(xp / s).astype(jnp.int8)
+    return q, s
+
+
+def attend_quant_ref(att_params, enc_q, enc_s, ea_q, ea_s, h, *,
+                     p_actual: int):
+    """XLA emulation of :func:`attend_fused_q`'s quantized math — the
+    numerics oracle for the kernel (NOT the unquantized attend)."""
+    dt = h.dtype
+    A = ea_q.shape[-1]
+    dec = (h @ att_params["decoder_att"]["w"]
+           + att_params["decoder_att"]["b"]).astype(dt)    # (B, K, A)
+    wf = att_params["full_att"]["w"].astype(jnp.float32).reshape(A)
+    ea_deq = ea_q.astype(dt) * ea_s.astype(dt)             # (B, Pp, A)
+    e = jnp.maximum(ea_deq[:, None] + dec[:, :, None, :], 0)
+    # match the kernel: products in dt, lane-sum, then f32
+    att = jnp.sum(e * wf.astype(dt), axis=-1).astype(jnp.float32)
+    Pp = ea_q.shape[-2]
+    if p_actual < Pp:
+        mask = jnp.arange(Pp) < p_actual
+        att = jnp.where(mask[None, None, :], att, NEG_INF)
+    mx = jnp.max(att, axis=-1, keepdims=True)
+    ex = jnp.exp(att - mx)
+    alpha = ex / jnp.sum(ex, axis=-1, keepdims=True)       # (B, K, Pp) f32
+    scaled = alpha * enc_s[:, None, :, 0]                  # fold enc scale
+    awe = jnp.einsum("bkp,bpe->bke", scaled.astype(dt).astype(jnp.float32),
+                     enc_q.astype(dt).astype(jnp.float32)).astype(dt)
+    return awe, alpha[:, :, :p_actual].astype(dt)
+
+
+def _make_kernel_q(G: int, K: int, P_actual: int, m: int, with_alpha: bool):
+    def kernel(enc_q_ref, enc_s_ref, ea_q_ref, ea_s_ref, dec_ref, wf_ref,
+               awe_ref, alpha_ref, bd_ref):
+        Pp = ea_q_ref.shape[1]
+        E = enc_q_ref.shape[2]
+        dt = awe_ref.dtype
+        wf = wf_ref[:].astype(dt)                          # (1, A)
+        for base in range(0, G, m):
+            bd_ref[:] = jnp.zeros_like(bd_ref)
+            for j in range(m):
+                g = base + j
+                ea = ea_q_ref[g].astype(dt) * ea_s_ref[g].astype(dt)
+                dk = dec_ref[g]                            # (K, A)
+                cols = []
+                for k in range(K):
+                    e = jnp.maximum(ea + dk[k:k + 1, :], 0)
+                    cols.append(jnp.sum(e * wf, axis=1, keepdims=True))
+                att = jnp.concatenate(cols, axis=1).astype(jnp.float32)
+                if P_actual < Pp:
+                    rows = jax.lax.broadcasted_iota(jnp.int32, (Pp, K), 0)
+                    att = jnp.where(rows < P_actual, att, NEG_INF)
+                mx = jnp.max(att, axis=0, keepdims=True)
+                ex = jnp.exp(att - mx)
+                s = jnp.sum(ex, axis=0, keepdims=True)
+                alpha = ex / s                             # (Pp, K) f32
+                bd_ref[j * Pp:(j + 1) * Pp, j * K:(j + 1) * K] = \
+                    (alpha * enc_s_ref[g]).astype(bd_ref.dtype)
+                if with_alpha:
+                    alpha_ref[g] = alpha.T.astype(alpha_ref.dtype)
+            enc_grp = enc_q_ref[base:base + m].reshape(m * Pp, E).astype(dt)
+            awe = jax.lax.dot_general(
+                bd_ref[:], enc_grp, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)        # (m*K, E) MXU
+            awe_ref[base:base + m] = awe.reshape(m, K, E).astype(dt)
+
+    return kernel
+
+
+def attend_fused_q(att_params, enc_q, enc_s, ea_q, ea_s, h, *,
+                   p_actual: int, interpret=None, img_tile: int = 0,
+                   group: int = 8, with_alpha: bool = True):
+    """int8-encoder-state fused attention step (serving mode).
+
+    enc_q/ea_q: (B, Pp, E|A) int8 from :func:`quantize_pixels` (Pp is the
+    32-aligned padded pixel count); enc_s/ea_s: (B, Pp, 1) f32 scales;
+    h: (B, K, D).  Returns (awe (B, K, E) in h.dtype, alpha | None).
+    """
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    B, K, _ = h.shape
+    dt = h.dtype
+    E = enc_q.shape[-1]
+    A = ea_q.shape[-1]
+    Pp = enc_q.shape[-2]
+    P = p_actual
+    if Pp % 32:
+        raise ValueError("quantized inputs must be 32-aligned; use "
+                         "ops.attention_pallas.quantize_pixels")
+
+    if img_tile <= 0:
+        # int8 halves the per-image bytes -> bigger default tile
+        per_img = Pp * (E + A) * 1 + Pp * 8
+        img_tile = max(1, (40 << 20) // (2 * per_img))
+    G = img_tile
+    while B % G:
+        G -= 1
+    m = min(group, G)
+    while G % m:
+        m -= 1
+
+    dec = (h @ att_params["decoder_att"]["w"]
+           + att_params["decoder_att"]["b"]).astype(dt)    # (B, K, A)
+    wf = att_params["full_att"]["w"].astype(jnp.float32).reshape(1, A)
+
+    kernel = _make_kernel_q(G, K, P, m, with_alpha)
+    awe, alpha = pl.pallas_call(
+        kernel,
+        grid=(B // G,),
+        in_specs=[
+            pl.BlockSpec((G, Pp, E), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((G, Pp, 1), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((G, Pp, A), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((G, Pp, 1), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((G, K, A), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, A), lambda b: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((G, K, E), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((G, K, Pp), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(jax.ShapeDtypeStruct((B, K, E), dt),
+                   jax.ShapeDtypeStruct((B, K, Pp), dt)),
+        scratch_shapes=[pltpu.VMEM((m * Pp, m * K), dt)],
+        interpret=interpret,
+        compiler_params=None if interpret else _compiler_params(),
+    )(enc_q, enc_s, ea_q, ea_s, dec, wf)
+    return awe, (alpha[:, :, :P] if with_alpha else None)
 
 
 # ---------------------------------------------------------------------------
@@ -379,5 +683,6 @@ def attend_fused_t(att_params, enc, enc_att_t, h, *, interpret=None,
         out_shape=(jax.ShapeDtypeStruct((B, K, E), enc3.dtype),
                    jax.ShapeDtypeStruct((B, K, Pp), enc3.dtype)),
         interpret=interpret,
+        compiler_params=None if interpret else _compiler_params(),
     )(enc3, enc_att_t.astype(enc3.dtype), dec_t.astype(enc3.dtype), wf)
     return awe, alpha[:, :, :P]

@@ -114,7 +114,7 @@ def main():
         padded_consts = {**attend_consts,
                          "enc_p": pad_pixels(enc),
                          "enc_att_p": pad_pixels(enc_att)}
-        for gtile in (0, 1, 2, 4):
+        for gtile in (0, 4, 8, 16, 32):
             def body(_, h, cs, gtile=gtile):
                 awe, alpha = attend_fused(cs["att"], cs["enc_p"][:, None],
                                           cs["enc_att_p"][:, None], h,
