@@ -195,15 +195,16 @@ if __name__ == "__main__":
     ap.add_argument("--mode", choices=("decode", "e2e"), default="decode",
                     help="decode = headline captions/s (driver default); "
                          "e2e = uint8 image -> caption serving + MFU")
-    # saturation with the round-2 kernels (same-session sweep, 2026-08-17):
-    # 2048 -> 4016, 3072 -> 4172, 4096 -> 4174 captions/s; 6144+ fails to
-    # fit.  4096 is +4% but its first compile sporadically exceeds 15 min
-    # through the remote-compile tunnel — 2048 stays the default so the
-    # driver run is reliable; pass --batch 4096 for the peak number.
+    # saturation with the round-2 kernels: 2048 -> 4016-4046, 3072 -> 4172,
+    # 4096 -> 4129-4174 captions/s; 6144+ fails to fit.  The 4096 program
+    # is in the persistent XLA compile cache (~/.cache/iic_tpu_xla,
+    # core/runtime.py) — warm runs complete in ~40 s (measured 2026-08-17);
+    # a cold compile is ~3 min, sporadically longer through the
+    # remote-compile tunnel.
     ap.add_argument("--batch", type=int, default=None,
-                    help="default: 2048 for decode, 256 for e2e")
+                    help="default: 4096 for decode, 256 for e2e")
     args = ap.parse_args()
     if args.mode == "e2e":
         e2e_main(args.batch or 256)
     else:
-        main(args.batch or 2048)
+        main(args.batch or 4096)

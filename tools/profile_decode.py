@@ -114,7 +114,7 @@ def main():
         padded_consts = {**attend_consts,
                          "enc_p": pad_pixels(enc),
                          "enc_att_p": pad_pixels(enc_att)}
-        for gtile in (0, 4, 8, 16, 32):
+        for gtile in (4, 32):
             def body(_, h, cs, gtile=gtile):
                 awe, alpha = attend_fused(cs["att"], cs["enc_p"][:, None],
                                           cs["enc_att_p"][:, None], h,
@@ -127,6 +127,39 @@ def main():
             except Exception as e:
                 print(f"attend Pallas prepad G={gtile} FAILED: "
                       f"{type(e).__name__}: {e}")
+
+    if run_attend:
+        from indonesian_image_captioning_tpu.ops.attention_pallas import (
+            attend_fused_q, attend_fused_v3, quantize_pixels)
+        qconsts = {**attend_consts}
+        (qconsts["enc_q"], qconsts["enc_s"]) = quantize_pixels(enc)
+        (qconsts["ea_q"], qconsts["ea_s"]) = quantize_pixels(enc_att)
+
+        def quant_body(_, h, cs):
+            awe, alpha = attend_fused_q(cs["att"], cs["enc_q"], cs["enc_s"],
+                                        cs["ea_q"], cs["ea_s"], h,
+                                        p_actual=P, with_alpha=False)
+            return feed(h, awe)
+
+        try:
+            t = loop_timeit(quant_body, h, qconsts)
+            print(f"attend Pallas int8 (noalpha): {t*1e3:8.3f} ms/step")
+        except Exception as e:
+            print(f"attend Pallas int8 FAILED: {type(e).__name__}: "
+                  f"{str(e)[:200]}")
+
+        def v3_body(_, h, cs):
+            awe, alpha = attend_fused_v3(
+                cs["att"], cs["enc_p"][:, None], cs["enc_att_p"][:, None],
+                h, p_actual=P, img_tile=32, group=8, with_alpha=False)
+            return feed(h, awe)
+
+        try:
+            t = loop_timeit(v3_body, h, padded_consts)
+            print(f"attend Pallas v3 G32 (noalpha): {t*1e3:8.3f} ms/step")
+        except Exception as e:
+            print(f"attend Pallas v3 FAILED: {type(e).__name__}: "
+                  f"{str(e)[:200]}")
 
     from indonesian_image_captioning_tpu.ops.attention_pallas import (
         attend_fused_t, precompute_transposed)
