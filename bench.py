@@ -88,7 +88,12 @@ def e2e_main(batch: int = 64):
 
     @jax.jit
     def decode(st, enc_out, tags):
-        out = caption_beam_search(st["params"], cfg, enc_out, tags,
+        # serving precision: the adaptive-pool matmuls accumulate (and
+        # return) f32 — cast the encoder state back to bf16 so the decode
+        # runs at the same precision as the headline bench (f32 state
+        # also forces the fused step kernel onto a smaller image tile)
+        out = caption_beam_search(st["params"], cfg, enc_out.astype(bf),
+                                  tags.astype(bf),
                                   start_id=V - 2, end_id=V - 1,
                                   beam_cfg=BeamConfig(beam_size=5))
         return out["sequences"], out["lengths"]
@@ -195,16 +200,16 @@ if __name__ == "__main__":
     ap.add_argument("--mode", choices=("decode", "e2e"), default="decode",
                     help="decode = headline captions/s (driver default); "
                          "e2e = uint8 image -> caption serving + MFU")
-    # saturation with the round-2 kernels: 2048 -> 4016-4046, 3072 -> 4172,
-    # 4096 -> 4129-4174 captions/s; 6144+ fails to fit.  The 4096 program
-    # is in the persistent XLA compile cache (~/.cache/iic_tpu_xla,
-    # core/runtime.py) — warm runs complete in ~40 s (measured 2026-08-17);
-    # a cold compile is ~3 min, sporadically longer through the
-    # remote-compile tunnel.
+    # saturation with the fused per-step kernel (decode_impl auto ->
+    # "fused_step", 2026-08-17): 1024 -> 5243, 2048 -> 5799, 4096 -> 5691
+    # captions/s.  2048 is the sweep optimum and compiles in ~1 min cold
+    # (the 4096 program sporadically takes >15 min through the
+    # remote-compile tunnel); warm runs via the persistent XLA cache
+    # (~/.cache/iic_tpu_xla, core/runtime.py) complete in ~40 s.
     ap.add_argument("--batch", type=int, default=None,
-                    help="default: 4096 for decode, 256 for e2e")
+                    help="default: 2048 for decode, 256 for e2e")
     args = ap.parse_args()
     if args.mode == "e2e":
         e2e_main(args.batch or 256)
     else:
-        main(args.batch or 4096)
+        main(args.batch or 2048)

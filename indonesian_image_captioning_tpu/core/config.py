@@ -101,7 +101,20 @@ class ModelConfig:
     #             vocab top-k lose more to poor utilisation than the
     #             eliminated 1.09 GB/step enc re-read saves.  Kept opt-in
     #             as the base for future single-pass head/attention work.
-    #   "auto"  — currently "steps" everywhere (the measured winner).
+    #   "fused_step" — ONE Pallas kernel per decode step (ops/
+    #             step_pallas.py): attention + f_beta + SCN cell + vocab
+    #             head + per-lane top-K, gridded over G=32-image chunks so
+    #             the next chunk's encoder DMA overlaps the current
+    #             chunk's MXU/VPU work (the step approaches max(DMA,
+    #             compute) instead of their sum).  attention_scn only, no
+    #             alpha recording, enc_quant="none" only.  Measured 5218
+    #             vs 4085 captions/s for "steps" (B=1024 K=5 bf16 v5e,
+    #             2026-08-17).  Candidate scores are f32 raw-logit − lse
+    #             where the steps path rounds log-softmax to the compute
+    #             dtype: at bf16, near-ties can resolve differently (same
+    #             serving-precision contract as enc_quant); at f32 it is
+    #             bit-for-beam with the engine (tests/test_step_fused.py).
+    #   "auto"  — "fused_step" on TPU when eligible, else "steps".
     decode_impl: str = "auto"
     # Encoder-state precision for beam decode (serving knob).  The
     # attention step is ~89% HBM DMA of the loop-invariant enc/enc_att

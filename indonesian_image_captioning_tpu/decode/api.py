@@ -33,13 +33,44 @@ def caption_beam_search(params, cfg: ModelConfig, enc, tags, *,
     enc_flat = decoders.flatten_encoding(enc, cfg.encoder_dim)
 
     from ..ops.decode_pallas import pick_img_tile
+    from ..ops.step_pallas import dims_for_cfg, pick_step_tile
 
     fusable = (cfg.model_type == "attention_scn" and not record_alphas
                and pick_img_tile(enc_flat.shape[0],
                                  beam_cfg.beam_size) is not None)
-    # "auto" resolves to the step engine: the fused megakernel measured
-    # 4.2x slower at bench dims (see ModelConfig.decode_impl).
-    impl = "steps" if cfg.decode_impl == "auto" else cfg.decode_impl
+    step_fusable = (cfg.model_type == "attention_scn" and not record_alphas
+                    and cfg.enc_quant == "none"
+                    and pick_step_tile(
+                        enc_flat.shape[0], beam_cfg.beam_size,
+                        dims=dims_for_cfg(cfg, enc_flat.dtype.itemsize))
+                    is not None)
+    impl = cfg.decode_impl
+    if impl == "auto":
+        # The fused per-step kernel wins on TPU (5218 vs 4085 captions/s,
+        # B=1024 bf16 v5e — see ModelConfig.decode_impl) but would run in
+        # interpret mode on CPU; fall back to the step engine there, when
+        # the batch/beam has no legal image tile (e.g. single-image
+        # inference), or for int8 encoder state (steps-engine only).
+        impl = ("fused_step"
+                if step_fusable and jax.default_backend() != "cpu"
+                else "steps")
+    if impl == "fused_step" and step_fusable:
+        init_state_fn, step_fn = decoders.make_beam_step(
+            params, cfg, enc_flat, tags, fused_step=True)
+        return beam_search(
+            step_fn,
+            init_state_fn(beam_cfg.beam_size),
+            batch_size=enc_flat.shape[0],
+            beam_size=beam_cfg.beam_size,
+            vocab_size=cfg.vocab_size,
+            start_id=start_id,
+            end_id=end_id,
+            max_steps=beam_cfg.max_steps,
+            seq_len=beam_cfg.max_steps + 1,
+            emit_specs={},
+            length_penalty=beam_cfg.length_penalty,
+            topk_backend=cfg.topk_backend,
+        )
     if impl == "fused" and fusable:
         from ..ops.decode_pallas import beam_decode_records
         from .replay import replay_beam_records

@@ -181,13 +181,22 @@ def teacher_forcing(params, cfg: ModelConfig, enc, tags, caps,
     return {"predictions": predictions, "alphas": alphas, "mask": mask}
 
 
-def make_beam_step(params, cfg: ModelConfig, enc, tags):
+def make_beam_step(params, cfg: ModelConfig, enc, tags, *,
+                   fused_step: bool = False):
     """Build (init_state, step_fn) for the generic beam engine.
 
     enc:  (B, H, W, E) or (B, P, E);  tags: (B, S).
     State arrays carry a (B, K, ...) leading shape.  step_fn(state, prev)
     returns (logprobs (B, K, V), new_state, emit-dict).
+
+    fused_step=True routes the whole step (attention + f_beta + SCN cell +
+    vocab head + per-lane top-K) through ONE Pallas kernel
+    (ops/step_pallas.py) so the next image chunk's encoder DMA overlaps
+    the current chunk's compute.  attention_scn only; emits no alphas;
+    candidate scores are f32 (see decode_impl docs).
     """
+    if fused_step:
+        return _make_fused_beam_step(params, cfg, enc, tags)
     cell = params["decode_step"]
     is_scn = cfg.model_type in SCN_BASED_MODELS
     enc_flat = flatten_encoding(enc, cfg.encoder_dim)   # (B, P, E)
@@ -314,6 +323,53 @@ def make_beam_step(params, cfg: ModelConfig, enc, tags):
                 {"h": h, "c": c}, emit
         logprobs = jax.nn.log_softmax(logits, axis=-1)
         return logprobs, {"h": h, "c": c}, emit
+
+    return init_state, step_fn
+
+
+def _make_fused_beam_step(params, cfg: ModelConfig, enc, tags):
+    """(init_state, step_fn) backed by the fused per-step kernel."""
+    from ..ops.attention_pallas import pad_pixels
+    from ..ops.step_pallas import fused_decode_step, pack_step_weights
+
+    if cfg.model_type != "attention_scn":
+        raise NotImplementedError("fused_step supports attention_scn")
+    cell = params["decode_step"]
+    enc_flat = flatten_encoding(enc, cfg.encoder_dim)      # (B, P, E)
+    B, P, _ = enc_flat.shape
+    dt = enc_flat.dtype
+    F4 = 4 * cfg.factored_dim
+
+    enc_p = pad_pixels(enc_flat)
+    enc_att_p = pad_pixels(attn.precompute(params["attention"], enc_flat))
+    weights = pack_step_weights(params, cfg, dt)
+    sx, sh = scn_cell.semantic_projections(cell, tags)     # (B, 4, F)
+    h0, c0 = init_hidden_state(params, enc_flat)           # (B, D)
+
+    def init_state(beam_size: int):
+        K = beam_size
+        return {
+            "h": jnp.broadcast_to(h0[:, None],
+                                  (B, K, cfg.decoder_dim)).astype(dt),
+            "c": jnp.broadcast_to(c0[:, None],
+                                  (B, K, cfg.decoder_dim)).astype(dt),
+        }
+
+    def step_fn(state, prev_words):
+        h = state["h"]                                     # (B, K, D)
+        B_, K, D = h.shape
+        emb_rows = params["embedding"][prev_words].reshape(B_ * K, -1)
+        semx = jnp.repeat(sx.reshape(B_, F4), K, axis=0).astype(dt)
+        semh = jnp.repeat(sh.reshape(B_, F4), K, axis=0).astype(dt)
+        topv, topi, lse, h_new, c_new = fused_decode_step(
+            weights, enc_p, enc_att_p, emb_rows.astype(dt),
+            h.reshape(B_ * K, D), state["c"].reshape(B_ * K, D),
+            semx, semh, num_pixels=P)
+        cand_vals = (topv - lse).reshape(B_, K, K)         # f32 logprobs
+        cand_ids = topi.reshape(B_, K, K)
+        new_state = {"h": h_new.reshape(B_, K, D),
+                     "c": c_new.reshape(B_, K, D)}
+        return (cand_vals, cand_ids), new_state, {}
 
     return init_state, step_fn
 

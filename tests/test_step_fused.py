@@ -1,0 +1,134 @@
+"""Fused per-step kernel (ops/step_pallas.py) vs the step-loop engine.
+
+decode_impl="fused_step" runs attention + f_beta + SCN cell + vocab head +
+per-lane top-K as ONE Pallas kernel per decode step.  At f32 it must
+reproduce the XLA step engine bit-for-beam (same sequences / lengths /
+completion pools; scores to summation-order tolerance — the kernel scores
+candidates as raw-logit − logsumexp where log_softmax associates the
+subtraction differently).  Runs in interpret mode on the CPU mesh; the TPU
+compiled path is exercised by tools/profile_decode.py and the verify skill.
+"""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import pytest
+
+from indonesian_image_captioning_tpu.core.config import BeamConfig, ModelConfig
+from indonesian_image_captioning_tpu.decode.api import caption_beam_search
+from indonesian_image_captioning_tpu.models import decoders
+from indonesian_image_captioning_tpu.ops.step_pallas import pick_step_tile
+
+
+def tiny_cfg(vocab=50, **kw):
+    return ModelConfig(model_type="attention_scn", vocab_size=vocab,
+                       embed_dim=10, attention_dim=8, decoder_dim=12,
+                       factored_dim=8, semantic_dim=11, encoder_dim=16,
+                       enc_image_size=3, **kw)
+
+
+def run_both(cfg, params, enc, tags, K, T):
+    V = cfg.vocab_size
+    kw = dict(start_id=V - 2, end_id=V - 1,
+              beam_cfg=BeamConfig(beam_size=K, max_steps=T))
+    ref = caption_beam_search(
+        params, dataclasses.replace(cfg, decode_impl="steps"), enc, tags, **kw)
+    out = caption_beam_search(
+        params, dataclasses.replace(cfg, decode_impl="fused_step"), enc, tags, **kw)
+    return ref, out
+
+
+def assert_match(ref, out, score_tol=1e-5):
+    assert (ref["sequences"] == out["sequences"]).all()
+    assert (ref["lengths"] == out["lengths"]).all()
+    assert (ref["completed_count"] == out["completed_count"]).all()
+    assert jnp.allclose(ref["scores"], out["scores"], atol=score_tol)
+    assert (ref["completed_lengths"] == out["completed_lengths"]).all()
+
+
+def test_pick_step_tile():
+    assert pick_step_tile(1024, 5) == 32
+    assert pick_step_tile(8, 3) == 8          # G*K = 24 % 8 == 0
+    assert pick_step_tile(1, 5) is None       # single-image inference
+    assert pick_step_tile(6, 5) is None
+
+
+def test_pick_step_tile_vmem_budget():
+    """f32 encoder state / COCO-scale vocab must shrink the image tile so
+    the kernel's scoped VMEM fits the chip (the e2e f32 OOM regression:
+    G=32 f32 wanted 202 MB of the 128 MB VMEM)."""
+    from indonesian_image_captioning_tpu.ops.step_pallas import dims_for_cfg
+
+    flagship = ModelConfig(model_type="attention_scn", vocab_size=6763)
+    bf16 = dims_for_cfg(flagship, 2)
+    f32 = dims_for_cfg(flagship, 4)
+    g_bf16 = pick_step_tile(1024, 5, dims=bf16)
+    g_f32 = pick_step_tile(1024, 5, dims=f32)
+    assert g_bf16 == 32                       # the measured 5799-cps tile
+    assert g_f32 is not None and g_f32 < 32   # f32 halves the budget
+    coco = dims_for_cfg(dataclasses.replace(flagship, vocab_size=38732), 2)
+    g_coco = pick_step_tile(1024, 5, dims=coco)
+    assert g_coco is not None and g_coco <= g_bf16
+
+
+def test_fused_step_matches_engine_no_completions():
+    cfg = tiny_cfg()
+    params = decoders.init_decoder(jax.random.key(0), cfg)
+    enc = jax.random.normal(jax.random.key(1), (8, 9, 16)) * 0.3
+    tags = jax.random.uniform(jax.random.key(2), (8, 11))
+    ref, out = run_both(cfg, params, enc, tags, K=3, T=8)
+    assert_match(ref, out)
+    assert int(ref["lengths"][0]) == 9        # ran the full window
+
+
+def test_fused_step_matches_engine_with_retirement():
+    """Bias the head toward <end> so beams retire at differing steps,
+    exercising the pools, alive shrinkage and row freezing."""
+    cfg = tiny_cfg()
+    params = decoders.init_decoder(jax.random.key(3), cfg)
+    V = cfg.vocab_size
+    params["fc"]["b"] = params["fc"]["b"].at[V - 1].set(1.5)
+    enc = jax.random.normal(jax.random.key(4), (8, 9, 16)) * 0.5
+    tags = jax.random.uniform(jax.random.key(5), (8, 11))
+    ref, out = run_both(cfg, params, enc, tags, K=3, T=10)
+    assert int(ref["completed_count"].sum()) > 0
+    assert_match(ref, out)
+
+
+def test_fused_step_beam5_multi_chunk():
+    """K=5 (bench beam), two G=8 chunks over B=16."""
+    cfg = tiny_cfg(vocab=64)
+    params = decoders.init_decoder(jax.random.key(9), cfg)
+    V = cfg.vocab_size
+    params["fc"]["b"] = params["fc"]["b"].at[V - 1].set(1.0)
+    enc = jax.random.normal(jax.random.key(10), (16, 9, 16)) * 0.4
+    tags = jax.random.uniform(jax.random.key(11), (16, 11))
+    ref, out = run_both(cfg, params, enc, tags, K=5, T=9)
+    assert_match(ref, out)
+
+
+def test_fused_step_untilable_batch_falls_back():
+    """B=1 K=5 has no legal tile: explicit "fused_step" must fall back to
+    the step engine (this is the single-image inference CLI shape)."""
+    cfg = tiny_cfg(decode_impl="fused_step")
+    params = decoders.init_decoder(jax.random.key(12), cfg)
+    enc = jax.random.normal(jax.random.key(13), (1, 9, 16)) * 0.4
+    tags = jax.random.uniform(jax.random.key(14), (1, 11))
+    V = cfg.vocab_size
+    out = caption_beam_search(params, cfg, enc, tags, start_id=V - 2,
+                              end_id=V - 1,
+                              beam_cfg=BeamConfig(beam_size=5, max_steps=8))
+    ref = caption_beam_search(params, dataclasses.replace(cfg, decode_impl="steps"), enc,
+                              tags, start_id=V - 2, end_id=V - 1,
+                              beam_cfg=BeamConfig(beam_size=5, max_steps=8))
+    assert (ref["sequences"] == out["sequences"]).all()
+
+
+def test_fused_step_rejects_unsupported_model():
+    cfg = ModelConfig(model_type="pure_scn", vocab_size=50)
+    params = decoders.init_decoder(jax.random.key(0), cfg)
+    enc = jnp.zeros((8, 196, 2048))
+    tags = jnp.zeros((8, 1000))
+    with pytest.raises(NotImplementedError):
+        decoders.make_beam_step(params, cfg, enc, tags, fused_step=True)
