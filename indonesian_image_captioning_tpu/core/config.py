@@ -103,26 +103,40 @@ class ModelConfig:
     #             as the base for future single-pass head/attention work.
     #   "fused_step" — ONE Pallas kernel per decode step (ops/
     #             step_pallas.py): attention + f_beta + SCN cell + vocab
-    #             head + per-lane top-K, gridded over G=32-image chunks so
-    #             the next chunk's encoder DMA overlaps the current
-    #             chunk's MXU/VPU work (the step approaches max(DMA,
-    #             compute) instead of their sum).  attention_scn only, no
-    #             alpha recording, enc_quant="none" only.  Measured 5218
-    #             vs 4085 captions/s for "steps" (B=1024 K=5 bf16 v5e,
-    #             2026-08-17).  Candidate scores are f32 raw-logit − lse
-    #             where the steps path rounds log-softmax to the compute
-    #             dtype: at bf16, near-ties can resolve differently (same
-    #             serving-precision contract as enc_quant); at f32 it is
-    #             bit-for-beam with the engine (tests/test_step_fused.py).
+    #             head + per-lane top-K, gridded over image chunks
+    #             (VMEM-budgeted tile, G=32 at bf16 flagship dims) so the
+    #             next chunk's encoder DMA overlaps the current chunk's
+    #             MXU/VPU work (the step approaches max(DMA, compute)
+    #             instead of their sum).  attention_scn only, no alpha
+    #             recording; composes with enc_quant="int8" (quantized
+    #             state inside the kernel).  Measured vs "steps"
+    #             (v5e, K=5, 2026-08-17): bf16 B=1024 5218 vs 4085
+    #             captions/s (+27%); f32 B=256 2736 vs 2047 (+34%);
+    #             COCO V=38,732 bf16 B=1024 3131 vs 1501 (+109%).
+    #             Candidate scores replicate log_softmax's exact float
+    #             association (max-shifted logits − log-sum): at f32 it
+    #             is bit-for-beam with the step engine under the SAME
+    #             attention backend (tests/test_step_fused.py, XLA
+    #             attention).  The TPU step engine's pallas_mxu
+    #             attention has its own FP ordering, and at bf16 the
+    #             steps path rounds log-softmax to bf16 — in both cases
+    #             near-ties can resolve differently between the two
+    #             exact paths (the standard serving-precision contract).
     #   "auto"  — "fused_step" on TPU when eligible, else "steps".
     decode_impl: str = "auto"
     # Encoder-state precision for beam decode (serving knob).  The
     # attention step is ~89% HBM DMA of the loop-invariant enc/enc_att
     # (tools/exp_attend_parts.py); "int8" stores both quantized with
     # per-(image, pixel) symmetric scales — half the bytes, ~0.4% relative
-    # activation error (ops/attention_pallas.attend_fused_q).  Lossy:
-    # beam picks can differ from the bf16 path in near-ties.  Default off;
-    # eval paths keep full precision.
+    # activation error (ops/attention_pallas.attend_fused_q; inside the
+    # fused step kernel via ops/step_pallas.fused_decode_step_q).  Lossy:
+    # beam picks can differ from the bf16 path in near-ties.  Default off
+    # and measured SLOWER than bf16 everywhere (2026-08-17, B=2048 v5e:
+    # int8+fused_step 5233 vs bf16+fused_step 5660 captions/s — the
+    # fused kernel already overlaps the DMA with compute, so halving the
+    # bytes buys nothing while the dequant VPU passes add cost; int8 on
+    # the steps engine 4089).  Kept for HBM-capacity-constrained serving
+    # (half-size encoder state); eval paths keep full precision.
     enc_quant: str = "none"               # "none" | "int8"
 
     @property

@@ -38,19 +38,21 @@ def caption_beam_search(params, cfg: ModelConfig, enc, tags, *,
     fusable = (cfg.model_type == "attention_scn" and not record_alphas
                and pick_img_tile(enc_flat.shape[0],
                                  beam_cfg.beam_size) is not None)
+    quant = cfg.enc_quant == "int8"
     step_fusable = (cfg.model_type == "attention_scn" and not record_alphas
-                    and cfg.enc_quant == "none"
                     and pick_step_tile(
                         enc_flat.shape[0], beam_cfg.beam_size,
-                        dims=dims_for_cfg(cfg, enc_flat.dtype.itemsize))
+                        dims=dims_for_cfg(cfg, enc_flat.dtype.itemsize,
+                                          quant=quant))
                     is not None)
     impl = cfg.decode_impl
     if impl == "auto":
-        # The fused per-step kernel wins on TPU (5218 vs 4085 captions/s,
-        # B=1024 bf16 v5e — see ModelConfig.decode_impl) but would run in
-        # interpret mode on CPU; fall back to the step engine there, when
-        # the batch/beam has no legal image tile (e.g. single-image
-        # inference), or for int8 encoder state (steps-engine only).
+        # The fused per-step kernel wins on TPU at every measured shape
+        # (bf16 B=1024 +27%, f32 +34%, COCO vocab +109% — see
+        # ModelConfig.decode_impl) but would run in interpret mode on
+        # CPU; fall back to the step engine there, or when the
+        # batch/beam has no legal image tile (e.g. single-image
+        # inference).
         impl = ("fused_step"
                 if step_fusable and jax.default_backend() != "cpu"
                 else "steps")

@@ -329,8 +329,9 @@ def make_beam_step(params, cfg: ModelConfig, enc, tags, *,
 
 def _make_fused_beam_step(params, cfg: ModelConfig, enc, tags):
     """(init_state, step_fn) backed by the fused per-step kernel."""
-    from ..ops.attention_pallas import pad_pixels
-    from ..ops.step_pallas import fused_decode_step, pack_step_weights
+    from ..ops.attention_pallas import pad_pixels, quantize_pixels
+    from ..ops.step_pallas import (fused_decode_step, fused_decode_step_q,
+                                   pack_step_weights)
 
     if cfg.model_type != "attention_scn":
         raise NotImplementedError("fused_step supports attention_scn")
@@ -340,8 +341,13 @@ def _make_fused_beam_step(params, cfg: ModelConfig, enc, tags):
     dt = enc_flat.dtype
     F4 = 4 * cfg.factored_dim
 
-    enc_p = pad_pixels(enc_flat)
-    enc_att_p = pad_pixels(attn.precompute(params["attention"], enc_flat))
+    enc_att = attn.precompute(params["attention"], enc_flat)
+    if cfg.enc_quant == "int8":
+        enc_inputs = quantize_pixels(enc_flat) + quantize_pixels(enc_att)
+        step_kernel = fused_decode_step_q
+    else:
+        enc_inputs = (pad_pixels(enc_flat), pad_pixels(enc_att))
+        step_kernel = fused_decode_step
     weights = pack_step_weights(params, cfg, dt)
     sx, sh = scn_cell.semantic_projections(cell, tags)     # (B, 4, F)
     h0, c0 = init_hidden_state(params, enc_flat)           # (B, D)
@@ -361,8 +367,8 @@ def _make_fused_beam_step(params, cfg: ModelConfig, enc, tags):
         emb_rows = params["embedding"][prev_words].reshape(B_ * K, -1)
         semx = jnp.repeat(sx.reshape(B_, F4), K, axis=0).astype(dt)
         semh = jnp.repeat(sh.reshape(B_, F4), K, axis=0).astype(dt)
-        topv, topi, lse, h_new, c_new = fused_decode_step(
-            weights, enc_p, enc_att_p, emb_rows.astype(dt),
+        topv, topi, lse, h_new, c_new = step_kernel(
+            weights, *enc_inputs, emb_rows.astype(dt),
             h.reshape(B_ * K, D), state["c"].reshape(B_ * K, D),
             semx, semh, num_pixels=P)
         cand_vals = (topv - lse).reshape(B_, K, K)         # f32 logprobs

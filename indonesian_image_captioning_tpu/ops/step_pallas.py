@@ -57,16 +57,21 @@ def _round_up(x: int, m: int) -> int:
 _VMEM_BUDGET = 112 * 1024 * 1024
 
 
-def _estimate_vmem(G, K, *, Pp, E, A, D, Emb, F4, Vp, isz, group=8):
+def _estimate_vmem(G, K, *, Pp, E, A, D, Emb, F4, Vp, isz, group=8,
+                   isz_enc=None):
     """Estimated scoped-VMEM bytes for a (G, group) schedule at item size
     isz: double-buffered input windows (enc/enc_att chunks + row blocks),
     single-buffered constant weight blocks, outputs, scratch, and the f32
-    logits / top-k work arrays the head materialises (incl. spill)."""
+    logits / top-k work arrays the head materialises (incl. spill).
+    isz_enc: item size of the enc/enc_att windows when they differ from
+    isz (1 for the int8 serving mode, which adds two f32 scale columns)."""
     R = G * K
     m = min(group, G)
     while G % m:
         m -= 1
-    win = 2 * G * Pp * (E + A) * isz                  # enc + enc_att windows
+    enc_isz = isz if isz_enc is None else isz_enc
+    scales = 8 if isz_enc is not None else 0          # two f32 scale cols
+    win = 2 * G * Pp * ((E + A) * enc_isz + scales)   # enc + enc_att windows
     rows = 2 * R * (Emb + 2 * D + 2 * F4) * isz       # emb/h/c/semx/semh
     weights = (D * A + 2 * A + D * E + E + (Emb + E + D) * F4
                + 2 * F4 * D + 8 * D + D * Vp + Vp) * isz
@@ -95,16 +100,21 @@ def pick_step_tile(B: int, K: int, img_tile: int = 32, *, dims=None):
     return None
 
 
-def dims_for_cfg(cfg, itemsize: int):
-    """Kernel-dimension dict for :func:`pick_step_tile`'s VMEM estimate."""
-    return dict(Pp=_round_up(cfg.num_pixels, 16), E=cfg.encoder_dim,
+def dims_for_cfg(cfg, itemsize: int, quant: bool = False):
+    """Kernel-dimension dict for :func:`pick_step_tile`'s VMEM estimate.
+    quant: int8 encoder state (32-multiple pixel pad, 1-byte windows)."""
+    return dict(Pp=_round_up(cfg.num_pixels, 32 if quant else 16),
+                E=cfg.encoder_dim,
                 A=cfg.attention_dim, D=cfg.decoder_dim, Emb=cfg.embed_dim,
                 F4=4 * cfg.factored_dim,
-                Vp=_round_up(cfg.vocab_size, 128), isz=itemsize)
+                Vp=_round_up(cfg.vocab_size, 128), isz=itemsize,
+                isz_enc=1 if quant else None)
 
 
-def _make_kernel(*, G, K, Pp, P, E, A, D, Emb, F, H, Vp, m, dt):
+def _make_kernel(*, G, K, Pp, P, E, A, D, Emb, F, H, Vp, m, dt,
+                 quant=False):
     R = G * K
+    n_enc = 4 if quant else 2
 
     def dot(a, b):
         return jax.lax.dot_general(a, b, (((1,), (0,)), ((), ())),
@@ -116,12 +126,17 @@ def _make_kernel(*, G, K, Pp, P, E, A, D, Emb, F, H, Vp, m, dt):
     def tnh(x):
         return jnp.tanh(x.astype(jnp.float32)).astype(dt)
 
-    def kernel(enc_ref, ea_ref, emb_ref, h_ref, c_ref, semx_ref, semh_ref,
-               wda_ref, bda_ref, wf_ref, wfb_ref, bfb_ref,
-               wxe_ref, wxa_ref, wh_ref, wxp_ref, whp_ref, bx_ref, bh_ref,
-               fcw_ref, fcb_ref,
-               h_out, c_out, topv_ref, topi_ref, lse_ref,
-               bd_scr, dec_scr, awe_scr):
+    def kernel(*refs):
+        # quant mode replaces (enc, ea) with (enc_q, enc_s, ea_q, ea_s):
+        # int8 state + per-pixel f32 scales — half the per-step HBM bytes
+        # (the dominant term).  Dequant math matches attend_quant_ref.
+        enc_refs = refs[:n_enc]
+        (emb_ref, h_ref, c_ref, semx_ref, semh_ref,
+         wda_ref, bda_ref, wf_ref, wfb_ref, bfb_ref,
+         wxe_ref, wxa_ref, wh_ref, wxp_ref, whp_ref, bx_ref, bh_ref,
+         fcw_ref, fcb_ref,
+         h_out, c_out, topv_ref, topi_ref, lse_ref,
+         bd_scr, dec_scr, awe_scr) = refs[n_enc:]
         h = h_ref[:]
         c = c_ref[:]
         wf = wf_ref[:].astype(dt)
@@ -133,7 +148,11 @@ def _make_kernel(*, G, K, Pp, P, E, A, D, Emb, F, H, Vp, m, dt):
             bd_scr[:] = jnp.zeros_like(bd_scr)
             for j in range(m):
                 g = base + j
-                ea = ea_ref[g]                              # (Pp, A)
+                if quant:
+                    _, encs_ref, ea_q_ref, eas_ref = enc_refs
+                    ea = ea_q_ref[g].astype(dt) * eas_ref[g].astype(dt)
+                else:
+                    ea = enc_refs[1][g]                     # (Pp, A)
                 dk = dec_scr[g * K:(g + 1) * K, :]
                 cols = []
                 for k in range(K):
@@ -147,9 +166,17 @@ def _make_kernel(*, G, K, Pp, P, E, A, D, Emb, F, H, Vp, m, dt):
                 ex = jnp.exp(att - mx)
                 s = jnp.sum(ex, axis=0, keepdims=True)
                 alpha = ex / s                              # (Pp, K) f32
+                if quant:
+                    # fold the enc dequant scale into alpha (one (Pp, K)
+                    # multiply instead of a (Pp, E) dequant pass)
+                    alpha = alpha * encs_ref[g]             # (Pp, 1) f32
                 bd_scr[j * Pp:(j + 1) * Pp, j * K:(j + 1) * K] = \
                     alpha.astype(bd_scr.dtype)
-            enc_grp = enc_ref[base:base + m].reshape(m * Pp, E)
+            if quant:
+                enc_grp = enc_refs[0][base:base + m] \
+                    .reshape(m * Pp, E).astype(dt)
+            else:
+                enc_grp = enc_refs[0][base:base + m].reshape(m * Pp, E)
             awe_scr[base * K:(base + m) * K, :] = jax.lax.dot_general(
                 bd_scr[:], enc_grp, (((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32).astype(dt)
@@ -178,15 +205,22 @@ def _make_kernel(*, G, K, Pp, P, E, A, D, Emb, F, H, Vp, m, dt):
         h_out[:] = h_new
         c_out[:] = c_new
 
-        # ---- vocab head: logits, f32 logsumexp, per-lane top-K ----
+        # ---- vocab head: logits, f32 log-sum, per-lane top-K ----
+        # Emitted values replicate log_softmax's float ops exactly: work
+        # on the max-SHIFTED logits (x - m) and return log(sum(exp(·)))
+        # WITHOUT folding the max back in, so the consumer's
+        # ``topv - lse`` is bitwise  (x - m) - log s  — the same
+        # association as jax.nn.log_softmax in the step engine.  (Raw
+        # logits + (log s + m) differs by 1 ulp and flips near-ties.)
         logits = (dot(h_new, fcw_ref[:]).astype(dt)
                   + fcb_ref[:].astype(dt))                  # (R, Vp)
         lg = logits.astype(jnp.float32)
         mrow = jnp.max(lg, axis=1, keepdims=True)
-        lse_ref[:] = jnp.log(jnp.sum(jnp.exp(lg - mrow), axis=1,
-                                     keepdims=True)) + mrow
+        shifted = lg - mrow
+        lse_ref[:] = jnp.log(jnp.sum(jnp.exp(shifted), axis=1,
+                                     keepdims=True))
         cols_v = jax.lax.broadcasted_iota(jnp.int32, (R, Vp), 1)
-        work = lg
+        work = shifted
         for q in range(K):
             v = jnp.max(work, axis=1, keepdims=True)
             a = jnp.argmax(work, axis=1)[:, None]           # first occurrence
@@ -208,13 +242,40 @@ def fused_decode_step(weights, enc_p, enc_att_p, emb_rows, h, c, semx, semh,
     weights: dict from :func:`pack_step_weights`.
     enc_p/enc_att_p: (B, Pp, E|A) pre-padded loop invariants.
     emb_rows: (B*K, Emb) embedded previous words; h/c/semx/semh: (B*K, d).
-    Returns (topv (B*K, K) f32 raw-logit values, topi (B*K, K) i32,
-    lse (B*K, 1) f32, h_new, c_new).
+    Returns (topv (B*K, K) f32 max-shifted logit values x - max_row,
+    topi (B*K, K) i32, lse (B*K, 1) f32 log(sum(exp(x - max_row))) —
+    so topv - lse is log_softmax bit-for-bit — and h_new, c_new).
     """
+    return _fused_call(weights, (enc_p, enc_att_p), emb_rows, h, c,
+                       semx, semh, num_pixels=num_pixels,
+                       img_tile=img_tile, group=group, interpret=interpret)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("num_pixels", "img_tile", "group",
+                              "interpret"))
+def fused_decode_step_q(weights, enc_q, enc_s, ea_q, ea_s, emb_rows, h, c,
+                        semx, semh, *, num_pixels: int, img_tile: int = 32,
+                        group: int = 8, interpret=None):
+    """int8 serving-mode variant of :func:`fused_decode_step`.
+
+    enc_q/ea_q: (B, Pp, E|A) int8, enc_s/ea_s: (B, Pp, 1) f32 — from
+    attention_pallas.quantize_pixels.  Half the per-step HBM bytes of the
+    DMA-dominant encoder-state read; dequant math matches
+    attend_quant_ref (enc scale folded into alpha).  Lossy vs the
+    unquantized path (ModelConfig.enc_quant docs)."""
+    return _fused_call(weights, (enc_q, enc_s, ea_q, ea_s), emb_rows, h, c,
+                       semx, semh, num_pixels=num_pixels,
+                       img_tile=img_tile, group=group, interpret=interpret)
+
+
+def _fused_call(weights, enc_inputs, emb_rows, h, c, semx, semh, *,
+                num_pixels, img_tile, group, interpret):
+    quant = len(enc_inputs) == 4
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
-    B, Pp, E = enc_p.shape
-    A = enc_att_p.shape[-1]
+    B, Pp, E = enc_inputs[0].shape
+    A = enc_inputs[2 if quant else 1].shape[-1]
     R_total, D = h.shape
     K = R_total // B
     Emb = emb_rows.shape[-1]
@@ -227,7 +288,8 @@ def fused_decode_step(weights, enc_p, enc_att_p, emb_rows, h, c, semx, semh,
 
     G = pick_step_tile(B, K, img_tile, dims=dict(
         Pp=Pp, E=E, A=A, D=D, Emb=Emb, F4=F4, Vp=Vp,
-        isz=jnp.dtype(dt).itemsize, group=group))
+        isz=jnp.dtype(dt).itemsize, group=group,
+        isz_enc=1 if quant else None))
     if G is None:
         raise ValueError(f"no VMEM-feasible tile G divides B={B} "
                          f"with G*{K}%8==0")
@@ -237,7 +299,7 @@ def fused_decode_step(weights, enc_p, enc_att_p, emb_rows, h, c, semx, semh,
     R = G * K
 
     kernel = _make_kernel(G=G, K=K, Pp=Pp, P=P, E=E, A=A, D=D, Emb=Emb,
-                          F=F, H=H, Vp=Vp, m=m, dt=dt)
+                          F=F, H=H, Vp=Vp, m=m, dt=dt, quant=quant)
 
     const = lambda *shape: pl.BlockSpec(
         shape, lambda b: (0,) * len(shape), memory_space=pltpu.VMEM)
@@ -246,12 +308,17 @@ def fused_decode_step(weights, enc_p, enc_att_p, emb_rows, h, c, semx, semh,
     rows2 = lambda d: pl.BlockSpec(
         (R, d), lambda b: (b, 0), memory_space=pltpu.VMEM)
 
+    if quant:
+        enc_specs = [chunk3(Pp, E), chunk3(Pp, 1),
+                     chunk3(Pp, A), chunk3(Pp, 1)]
+    else:
+        enc_specs = [chunk3(Pp, E), chunk3(Pp, A)]
+
     w = weights
     h_new, c_new, topv, topi, lse = pl.pallas_call(
         kernel,
         grid=(B // G,),
-        in_specs=[
-            chunk3(Pp, E), chunk3(Pp, A),
+        in_specs=enc_specs + [
             rows2(Emb), rows2(D), rows2(D), rows2(F4), rows2(F4),
             const(D, A), const(1, A), const(1, A),
             const(D, E), const(1, E),
@@ -276,7 +343,7 @@ def fused_decode_step(weights, enc_p, enc_att_p, emb_rows, h, c, semx, semh,
         ],
         interpret=interpret,
         compiler_params=None if interpret else _compiler_params(),
-    )(enc_p, enc_att_p, emb_rows, h, c, semx, semh,
+    )(*enc_inputs, emb_rows, h, c, semx, semh,
       w["wda"], w["bda"], w["wf"], w["wfb"], w["bfb"],
       w["wxe"], w["wxa"], w["wh"], w["wxp"], w["whp"], w["bx"], w["bh"],
       w["fcw"], w["fcb"])

@@ -125,6 +125,21 @@ def test_fused_step_untilable_batch_falls_back():
     assert (ref["sequences"] == out["sequences"]).all()
 
 
+def test_fused_step_int8_matches_steps_int8():
+    """enc_quant="int8" + fused_step must reproduce the step engine's own
+    int8 path (attend_quant_ref quantized-math oracle) at f32 — same
+    dequant/fold order, so sequences match exactly."""
+    cfg = tiny_cfg(enc_quant="int8")
+    params = decoders.init_decoder(jax.random.key(20), cfg)
+    V = cfg.vocab_size
+    params["fc"]["b"] = params["fc"]["b"].at[V - 1].set(1.0)
+    enc = jax.random.normal(jax.random.key(21), (8, 9, 16)) * 0.5
+    tags = jax.random.uniform(jax.random.key(22), (8, 11))
+    ref, out = run_both(cfg, params, enc, tags, K=3, T=10)
+    assert int(ref["completed_count"].sum()) > 0
+    assert_match(ref, out)
+
+
 def test_fused_step_rejects_unsupported_model():
     cfg = ModelConfig(model_type="pure_scn", vocab_size=50)
     params = decoders.init_decoder(jax.random.key(0), cfg)
