@@ -107,12 +107,16 @@ class ModelConfig:
     #             (VMEM-budgeted tile, G=32 at bf16 flagship dims) so the
     #             next chunk's encoder DMA overlaps the current chunk's
     #             MXU/VPU work (the step approaches max(DMA, compute)
-    #             instead of their sum).  attention_scn only, no alpha
-    #             recording; composes with enc_quant="int8" (quantized
-    #             state inside the kernel).  Measured vs "steps"
-    #             (v5e, K=5, 2026-08-17): bf16 B=1024 5218 vs 4085
-    #             captions/s (+27%); f32 B=256 2736 vs 2047 (+34%);
-    #             COCO V=38,732 bf16 B=1024 3131 vs 1501 (+109%).
+    #             instead of their sum).  All three decoder families
+    #             (attention_scn, pure_attention LSTM, pure_scn without
+    #             the attention stage); no alpha recording; composes
+    #             with enc_quant="int8" (quantized state inside the
+    #             kernel).  Measured vs "steps" (v5e, K=5, 2026-08-17):
+    #             attention_scn bf16 B=1024 5218 vs 4085 captions/s
+    #             (+27%); f32 B=256 2736 vs 2047 (+34%); COCO V=38,732
+    #             bf16 B=1024 3131 vs 1501 (+109%); pure_attention bf16
+    #             B=2048 5906 vs 4199 (+41%); pure_scn 12280 vs 7052
+    #             (+74%).
     #             Candidate scores replicate log_softmax's exact float
     #             association (max-shifted logits − log-sum): at f32 it
     #             is bit-for-beam with the step engine under the SAME

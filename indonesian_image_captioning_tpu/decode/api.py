@@ -39,12 +39,17 @@ def caption_beam_search(params, cfg: ModelConfig, enc, tags, *,
                and pick_img_tile(enc_flat.shape[0],
                                  beam_cfg.beam_size) is not None)
     quant = cfg.enc_quant == "int8"
-    step_fusable = (cfg.model_type == "attention_scn" and not record_alphas
-                    and pick_step_tile(
-                        enc_flat.shape[0], beam_cfg.beam_size,
-                        dims=dims_for_cfg(cfg, enc_flat.dtype.itemsize,
-                                          quant=quant))
-                    is not None)
+    if cfg.uses_attention:
+        step_tile_ok = pick_step_tile(
+            enc_flat.shape[0], beam_cfg.beam_size,
+            dims=dims_for_cfg(cfg, enc_flat.dtype.itemsize,
+                              quant=quant)) is not None
+    else:
+        # pure_scn chunks (B*K) rows directly — no image-tile constraint
+        step_tile_ok = pick_step_tile(
+            enc_flat.shape[0] * beam_cfg.beam_size, 1, 256,
+            dims=dims_for_cfg(cfg, enc_flat.dtype.itemsize)) is not None
+    step_fusable = (not record_alphas) and step_tile_ok
     impl = cfg.decode_impl
     if impl == "auto":
         # The fused per-step kernel wins on TPU at every measured shape

@@ -27,6 +27,7 @@ torch checkpoint converters are direct.
 
 from __future__ import annotations
 
+import functools
 from typing import Optional
 
 import jax
@@ -328,28 +329,43 @@ def make_beam_step(params, cfg: ModelConfig, enc, tags, *,
 
 
 def _make_fused_beam_step(params, cfg: ModelConfig, enc, tags):
-    """(init_state, step_fn) backed by the fused per-step kernel."""
+    """(init_state, step_fn) backed by the fused per-step kernel.
+
+    Covers all three decoder families: attention_scn (attention + SCN),
+    pure_attention (attention + torch LSTM), pure_scn (SCN only — the
+    kernel reads no encoder state, the fusion win is the cell+head chain
+    and the in-VMEM vocab top-K)."""
     from ..ops.attention_pallas import pad_pixels, quantize_pixels
     from ..ops.step_pallas import (fused_decode_step, fused_decode_step_q,
+                                   fused_decode_step_noattn,
                                    pack_step_weights)
 
-    if cfg.model_type != "attention_scn":
-        raise NotImplementedError("fused_step supports attention_scn")
+    if cfg.model_type not in MODEL_TYPES:
+        raise NotImplementedError(f"fused_step: unknown {cfg.model_type}")
     cell = params["decode_step"]
+    is_scn = cfg.model_type in SCN_BASED_MODELS
+    cell_kind = "scn" if is_scn else "lstm"
     enc_flat = flatten_encoding(enc, cfg.encoder_dim)      # (B, P, E)
     B, P, _ = enc_flat.shape
     dt = enc_flat.dtype
     F4 = 4 * cfg.factored_dim
 
-    enc_att = attn.precompute(params["attention"], enc_flat)
-    if cfg.enc_quant == "int8":
-        enc_inputs = quantize_pixels(enc_flat) + quantize_pixels(enc_att)
-        step_kernel = fused_decode_step_q
+    if cfg.uses_attention:
+        enc_att = attn.precompute(params["attention"], enc_flat)
+        if cfg.enc_quant == "int8":
+            enc_inputs = quantize_pixels(enc_flat) + quantize_pixels(enc_att)
+            step_kernel = functools.partial(
+                fused_decode_step_q, num_pixels=P, cell=cell_kind)
+        else:
+            enc_inputs = (pad_pixels(enc_flat), pad_pixels(enc_att))
+            step_kernel = functools.partial(
+                fused_decode_step, num_pixels=P, cell=cell_kind)
     else:
-        enc_inputs = (pad_pixels(enc_flat), pad_pixels(enc_att))
-        step_kernel = fused_decode_step
+        enc_inputs = ()
+        step_kernel = None                  # bound per beam size below
     weights = pack_step_weights(params, cfg, dt)
-    sx, sh = scn_cell.semantic_projections(cell, tags)     # (B, 4, F)
+    if is_scn:
+        sx, sh = scn_cell.semantic_projections(cell, tags)  # (B, 4, F)
     h0, c0 = init_hidden_state(params, enc_flat)           # (B, D)
 
     def init_state(beam_size: int):
@@ -365,12 +381,17 @@ def _make_fused_beam_step(params, cfg: ModelConfig, enc, tags):
         h = state["h"]                                     # (B, K, D)
         B_, K, D = h.shape
         emb_rows = params["embedding"][prev_words].reshape(B_ * K, -1)
-        semx = jnp.repeat(sx.reshape(B_, F4), K, axis=0).astype(dt)
-        semh = jnp.repeat(sh.reshape(B_, F4), K, axis=0).astype(dt)
-        topv, topi, lse, h_new, c_new = step_kernel(
+        if is_scn:
+            semx = jnp.repeat(sx.reshape(B_, F4), K, axis=0).astype(dt)
+            semh = jnp.repeat(sh.reshape(B_, F4), K, axis=0).astype(dt)
+        else:
+            semx = semh = None
+        kern = step_kernel if step_kernel is not None else \
+            functools.partial(fused_decode_step_noattn, beam_k=K)
+        topv, topi, lse, h_new, c_new = kern(
             weights, *enc_inputs, emb_rows.astype(dt),
             h.reshape(B_ * K, D), state["c"].reshape(B_ * K, D),
-            semx, semh, num_pixels=P)
+            semx, semh)
         cand_vals = (topv - lse).reshape(B_, K, K)         # f32 logprobs
         cand_ids = topi.reshape(B_, K, K)
         new_state = {"h": h_new.reshape(B_, K, D),

@@ -58,13 +58,14 @@ _VMEM_BUDGET = 112 * 1024 * 1024
 
 
 def _estimate_vmem(G, K, *, Pp, E, A, D, Emb, F4, Vp, isz, group=8,
-                   isz_enc=None):
+                   isz_enc=None, attention=True):
     """Estimated scoped-VMEM bytes for a (G, group) schedule at item size
     isz: double-buffered input windows (enc/enc_att chunks + row blocks),
     single-buffered constant weight blocks, outputs, scratch, and the f32
     logits / top-k work arrays the head materialises (incl. spill).
     isz_enc: item size of the enc/enc_att windows when they differ from
-    isz (1 for the int8 serving mode, which adds two f32 scale columns)."""
+    isz (1 for the int8 serving mode, which adds two f32 scale columns).
+    attention=False (pure_scn): no encoder windows, no attention scratch."""
     R = G * K
     m = min(group, G)
     while G % m:
@@ -77,6 +78,8 @@ def _estimate_vmem(G, K, *, Pp, E, A, D, Emb, F4, Vp, isz, group=8,
                + 2 * F4 * D + 8 * D + D * Vp + Vp) * isz
     outs = 2 * R * (2 * D * isz + (2 * K + 1) * 4)
     scratch = (m * Pp * m * K + R * A + R * E) * isz
+    if not attention:
+        win = scratch = 0
     logits = 3 * R * Vp * 4                           # lg + work + spill
     return win + rows + weights + outs + scratch + logits
 
@@ -103,18 +106,29 @@ def pick_step_tile(B: int, K: int, img_tile: int = 32, *, dims=None):
 def dims_for_cfg(cfg, itemsize: int, quant: bool = False):
     """Kernel-dimension dict for :func:`pick_step_tile`'s VMEM estimate.
     quant: int8 encoder state (32-multiple pixel pad, 1-byte windows)."""
+    scn = cfg.model_type in ("pure_scn", "attention_scn")
     return dict(Pp=_round_up(cfg.num_pixels, 32 if quant else 16),
                 E=cfg.encoder_dim,
                 A=cfg.attention_dim, D=cfg.decoder_dim, Emb=cfg.embed_dim,
-                F4=4 * cfg.factored_dim,
+                F4=4 * (cfg.factored_dim if scn else cfg.decoder_dim),
                 Vp=_round_up(cfg.vocab_size, 128), isz=itemsize,
-                isz_enc=1 if quant else None)
+                isz_enc=1 if quant else None,
+                attention=cfg.uses_attention)
 
 
-def _make_kernel(*, G, K, Pp, P, E, A, D, Emb, F, H, Vp, m, dt,
-                 quant=False):
-    R = G * K
-    n_enc = 4 if quant else 2
+def _make_kernel(*, names, G, K, topk, Pp, P, E, A, D, Emb, F, H, Vp, m, R,
+                 dt, quant=False, cell="scn", attention=True):
+    """Build the fused-step kernel body.
+
+    names: ordered ref names (inputs + outputs + scratch) matching the
+    pallas_call layout from :func:`_fused_call` — the body looks refs up
+    by name so the three decoder families (attention_scn / pure_attention
+    / pure_scn) share one implementation.
+    cell: "scn" (factored semantic gates, order i,f,o,c — scn_cell.py) or
+    "lstm" (torch nn.LSTMCell, order i,f,g,o — lstm_cell.py).
+    attention: False drops the whole attention stage (pure_scn: the step
+    reads no encoder state; R rows are chunked directly and K is unused).
+    topk: head candidates per row (the beam size)."""
 
     def dot(a, b):
         return jax.lax.dot_general(a, b, (((1,), (0,)), ((), ())),
@@ -127,83 +141,97 @@ def _make_kernel(*, G, K, Pp, P, E, A, D, Emb, F, H, Vp, m, dt,
         return jnp.tanh(x.astype(jnp.float32)).astype(dt)
 
     def kernel(*refs):
-        # quant mode replaces (enc, ea) with (enc_q, enc_s, ea_q, ea_s):
-        # int8 state + per-pixel f32 scales — half the per-step HBM bytes
-        # (the dominant term).  Dequant math matches attend_quant_ref.
-        enc_refs = refs[:n_enc]
-        (emb_ref, h_ref, c_ref, semx_ref, semh_ref,
-         wda_ref, bda_ref, wf_ref, wfb_ref, bfb_ref,
-         wxe_ref, wxa_ref, wh_ref, wxp_ref, whp_ref, bx_ref, bh_ref,
-         fcw_ref, fcb_ref,
-         h_out, c_out, topv_ref, topi_ref, lse_ref,
-         bd_scr, dec_scr, awe_scr) = refs[n_enc:]
-        h = h_ref[:]
-        c = c_ref[:]
-        wf = wf_ref[:].astype(dt)
+        r = dict(zip(names, refs))
+        h = r["h"][:]
+        c = r["c"][:]
+        emb_ref = r["emb"]
 
-        # ---- attention (attend_fused_v3 schedule) ----
-        dec_scr[:] = (dot(h, wda_ref[:]).astype(dt)
-                      + bda_ref[:].astype(dt))              # (R, A)
-        for base in range(0, G, m):
-            bd_scr[:] = jnp.zeros_like(bd_scr)
-            for j in range(m):
-                g = base + j
+        if attention:
+            # ---- attention (attend_fused_v3 schedule) ----
+            # quant mode replaces (enc, ea) with (enc_q, enc_s, ea_q,
+            # ea_s): int8 state + per-pixel f32 scales — half the
+            # per-step HBM bytes.  Dequant math matches attend_quant_ref.
+            wf = r["wf"][:].astype(dt)
+            bd_scr, dec_scr, awe_scr = r["bd"], r["dec"], r["awe"]
+            dec_scr[:] = (dot(h, r["wda"][:]).astype(dt)
+                          + r["bda"][:].astype(dt))         # (R, A)
+            for base in range(0, G, m):
+                bd_scr[:] = jnp.zeros_like(bd_scr)
+                for j in range(m):
+                    g = base + j
+                    if quant:
+                        ea = r["ea_q"][g].astype(dt) * r["ea_s"][g].astype(dt)
+                    else:
+                        ea = r["ea"][g]                     # (Pp, A)
+                    dk = dec_scr[g * K:(g + 1) * K, :]
+                    cols = []
+                    for k in range(K):
+                        e = jnp.maximum(ea + dk[k:k + 1, :], 0)
+                        cols.append(jnp.sum(e * wf, axis=1, keepdims=True))
+                    att = jnp.concatenate(cols, axis=1).astype(jnp.float32)
+                    if P < Pp:
+                        rows = jax.lax.broadcasted_iota(
+                            jnp.int32, (Pp, K), 0)
+                        att = jnp.where(rows < P, att, float("-inf"))
+                    mx = jnp.max(att, axis=0, keepdims=True)
+                    ex = jnp.exp(att - mx)
+                    s = jnp.sum(ex, axis=0, keepdims=True)
+                    alpha = ex / s                          # (Pp, K) f32
+                    if quant:
+                        # fold the enc dequant scale into alpha (one
+                        # (Pp, K) multiply, not a (Pp, E) dequant pass)
+                        alpha = alpha * r["enc_s"][g]       # (Pp, 1) f32
+                    bd_scr[j * Pp:(j + 1) * Pp, j * K:(j + 1) * K] = \
+                        alpha.astype(bd_scr.dtype)
+                enc_grp = r["enc"][base:base + m].reshape(m * Pp, E)
                 if quant:
-                    _, encs_ref, ea_q_ref, eas_ref = enc_refs
-                    ea = ea_q_ref[g].astype(dt) * eas_ref[g].astype(dt)
-                else:
-                    ea = enc_refs[1][g]                     # (Pp, A)
-                dk = dec_scr[g * K:(g + 1) * K, :]
-                cols = []
-                for k in range(K):
-                    e = jnp.maximum(ea + dk[k:k + 1, :], 0)
-                    cols.append(jnp.sum(e * wf, axis=1, keepdims=True))
-                att = jnp.concatenate(cols, axis=1).astype(jnp.float32)
-                if P < Pp:
-                    rows = jax.lax.broadcasted_iota(jnp.int32, (Pp, K), 0)
-                    att = jnp.where(rows < P, att, float("-inf"))
-                mx = jnp.max(att, axis=0, keepdims=True)
-                ex = jnp.exp(att - mx)
-                s = jnp.sum(ex, axis=0, keepdims=True)
-                alpha = ex / s                              # (Pp, K) f32
-                if quant:
-                    # fold the enc dequant scale into alpha (one (Pp, K)
-                    # multiply instead of a (Pp, E) dequant pass)
-                    alpha = alpha * encs_ref[g]             # (Pp, 1) f32
-                bd_scr[j * Pp:(j + 1) * Pp, j * K:(j + 1) * K] = \
-                    alpha.astype(bd_scr.dtype)
-            if quant:
-                enc_grp = enc_refs[0][base:base + m] \
-                    .reshape(m * Pp, E).astype(dt)
-            else:
-                enc_grp = enc_refs[0][base:base + m].reshape(m * Pp, E)
-            awe_scr[base * K:(base + m) * K, :] = jax.lax.dot_general(
-                bd_scr[:], enc_grp, (((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32).astype(dt)
-        gate = sig(dot(h, wfb_ref[:]).astype(dt) + bfb_ref[:].astype(dt))
-        awe = gate * awe_scr[:]                             # (R, E)
+                    enc_grp = enc_grp.astype(dt)
+                awe_scr[base * K:(base + m) * K, :] = jax.lax.dot_general(
+                    bd_scr[:], enc_grp, (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32).astype(dt)
+            gate = sig(dot(h, r["wfb"][:]).astype(dt)
+                       + r["bfb"][:].astype(dt))
+            awe = gate * awe_scr[:]                         # (R, E)
 
-        # ---- SCN recurrence (models/scn_cell.scn_step) ----
-        xfac = (dot(emb_ref[:], wxe_ref[:]).astype(dt)
-                + dot(awe, wxa_ref[:]).astype(dt)) * semx_ref[:]
-        hfac = dot(h, wh_ref[:]).astype(dt) * semh_ref[:]
-        pre = []
-        for g4 in range(4):
-            sl = slice(g4 * F, (g4 + 1) * F)
-            slh = slice(g4 * H, (g4 + 1) * H)
-            xg = dot(xfac[:, sl], wxp_ref[sl, :]) \
-                + bx_ref[:, slh].astype(jnp.float32)
-            hg = dot(hfac[:, sl], whp_ref[sl, :]) \
-                + bh_ref[:, slh].astype(jnp.float32)
-            pre.append((xg + hg).astype(dt))                # (R, H)
-        i_g = sig(pre[0])
-        f_g = sig(pre[1])
-        o_g = sig(pre[2])
-        c_t = tnh(pre[3])
+        if cell == "scn":
+            # ---- SCN recurrence (models/scn_cell.scn_step) ----
+            xin = dot(emb_ref[:], r["wxe"][:]).astype(dt)
+            if attention:
+                xin = xin + dot(awe, r["wxa"][:]).astype(dt)
+            xfac = xin * r["semx"][:]
+            hfac = dot(h, r["wh"][:]).astype(dt) * r["semh"][:]
+            pre = []
+            for g4 in range(4):
+                sl = slice(g4 * F, (g4 + 1) * F)
+                slh = slice(g4 * H, (g4 + 1) * H)
+                xg = dot(xfac[:, sl], r["wxp"][sl, :]) \
+                    + r["bx"][:, slh].astype(jnp.float32)
+                hg = dot(hfac[:, sl], r["whp"][sl, :]) \
+                    + r["bh"][:, slh].astype(jnp.float32)
+                pre.append((xg + hg).astype(dt))            # (R, H)
+            i_g = sig(pre[0])
+            f_g = sig(pre[1])
+            o_g = sig(pre[2])
+            c_t = tnh(pre[3])
+        else:
+            # ---- LSTM recurrence (models/lstm_cell.lstm_step, torch
+            # gate order i, f, g, o).  One concat matmul + the same add
+            # association as lstm_step so f32 is bit-exact with it. ----
+            xcat = jnp.concatenate([emb_ref[:], awe], axis=1)
+            pre_f = (dot(xcat, r["wih"][:])
+                     + r["bx"][:].astype(jnp.float32)
+                     + dot(h, r["wh"][:])
+                     + r["bh"][:].astype(jnp.float32))      # (R, 4H) f32
+            pre = [pre_f[:, g4 * H:(g4 + 1) * H].astype(dt)
+                   for g4 in range(4)]
+            i_g = sig(pre[0])
+            f_g = sig(pre[1])
+            c_t = tnh(pre[2])
+            o_g = sig(pre[3])
         c_new = f_g * c + i_g * c_t
         h_new = o_g * tnh(c_new)
-        h_out[:] = h_new
-        c_out[:] = c_new
+        r["h_out"][:] = h_new
+        r["c_out"][:] = c_new
 
         # ---- vocab head: logits, f32 log-sum, per-lane top-K ----
         # Emitted values replicate log_softmax's float ops exactly: work
@@ -212,20 +240,20 @@ def _make_kernel(*, G, K, Pp, P, E, A, D, Emb, F, H, Vp, m, dt,
         # ``topv - lse`` is bitwise  (x - m) - log s  — the same
         # association as jax.nn.log_softmax in the step engine.  (Raw
         # logits + (log s + m) differs by 1 ulp and flips near-ties.)
-        logits = (dot(h_new, fcw_ref[:]).astype(dt)
-                  + fcb_ref[:].astype(dt))                  # (R, Vp)
+        logits = (dot(h_new, r["fcw"][:]).astype(dt)
+                  + r["fcb"][:].astype(dt))                 # (R, Vp)
         lg = logits.astype(jnp.float32)
         mrow = jnp.max(lg, axis=1, keepdims=True)
         shifted = lg - mrow
-        lse_ref[:] = jnp.log(jnp.sum(jnp.exp(shifted), axis=1,
-                                     keepdims=True))
+        r["lse"][:] = jnp.log(jnp.sum(jnp.exp(shifted), axis=1,
+                                      keepdims=True))
         cols_v = jax.lax.broadcasted_iota(jnp.int32, (R, Vp), 1)
         work = shifted
-        for q in range(K):
+        for q in range(topk):
             v = jnp.max(work, axis=1, keepdims=True)
             a = jnp.argmax(work, axis=1)[:, None]           # first occurrence
-            topv_ref[:, q:q + 1] = v
-            topi_ref[:, q:q + 1] = a
+            r["topv"][:, q:q + 1] = v
+            r["topi"][:, q:q + 1] = a
             work = jnp.where(cols_v == a, NEG, work)
 
     return kernel
@@ -233,10 +261,10 @@ def _make_kernel(*, G, K, Pp, P, E, A, D, Emb, F, H, Vp, m, dt,
 
 @functools.partial(
     jax.jit, static_argnames=("num_pixels", "img_tile", "group",
-                              "interpret"))
+                              "interpret", "cell"))
 def fused_decode_step(weights, enc_p, enc_att_p, emb_rows, h, c, semx, semh,
                       *, num_pixels: int, img_tile: int = 32,
-                      group: int = 8, interpret=None):
+                      group: int = 8, interpret=None, cell: str = "scn"):
     """One fused decode step over (B, K) beams chunked into image tiles.
 
     weights: dict from :func:`pack_step_weights`.
@@ -247,16 +275,16 @@ def fused_decode_step(weights, enc_p, enc_att_p, emb_rows, h, c, semx, semh,
     so topv - lse is log_softmax bit-for-bit — and h_new, c_new).
     """
     return _fused_call(weights, (enc_p, enc_att_p), emb_rows, h, c,
-                       semx, semh, num_pixels=num_pixels,
+                       semx, semh, num_pixels=num_pixels, cell=cell,
                        img_tile=img_tile, group=group, interpret=interpret)
 
 
 @functools.partial(
     jax.jit, static_argnames=("num_pixels", "img_tile", "group",
-                              "interpret"))
+                              "interpret", "cell"))
 def fused_decode_step_q(weights, enc_q, enc_s, ea_q, ea_s, emb_rows, h, c,
                         semx, semh, *, num_pixels: int, img_tile: int = 32,
-                        group: int = 8, interpret=None):
+                        group: int = 8, interpret=None, cell: str = "scn"):
     """int8 serving-mode variant of :func:`fused_decode_step`.
 
     enc_q/ea_q: (B, Pp, E|A) int8, enc_s/ea_s: (B, Pp, 1) f32 — from
@@ -265,41 +293,71 @@ def fused_decode_step_q(weights, enc_q, enc_s, ea_q, ea_s, emb_rows, h, c,
     attend_quant_ref (enc scale folded into alpha).  Lossy vs the
     unquantized path (ModelConfig.enc_quant docs)."""
     return _fused_call(weights, (enc_q, enc_s, ea_q, ea_s), emb_rows, h, c,
-                       semx, semh, num_pixels=num_pixels,
+                       semx, semh, num_pixels=num_pixels, cell=cell,
                        img_tile=img_tile, group=group, interpret=interpret)
 
 
+@functools.partial(
+    jax.jit, static_argnames=("beam_k", "row_tile", "interpret"))
+def fused_decode_step_noattn(weights, emb_rows, h, c, semx, semh, *,
+                             beam_k: int, row_tile: int = 256,
+                             interpret=None):
+    """pure_scn variant: no attention stage, no encoder state at all —
+    the fusion win is the cell+head chain and the in-VMEM top-K (no
+    (B*K, V) logit round-trip to HBM).  beam_k: per-lane candidate
+    count (the beam size); rows are chunked row_tile at a time."""
+    return _fused_call(weights, (), emb_rows, h, c, semx, semh,
+                       num_pixels=0, cell="scn", img_tile=row_tile,
+                       group=1, interpret=interpret, beam_k=beam_k)
+
+
 def _fused_call(weights, enc_inputs, emb_rows, h, c, semx, semh, *,
-                num_pixels, img_tile, group, interpret):
+                num_pixels, img_tile, group, interpret, cell="scn",
+                beam_k=None):
+    attention = len(enc_inputs) > 0
     quant = len(enc_inputs) == 4
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
-    B, Pp, E = enc_inputs[0].shape
-    A = enc_inputs[2 if quant else 1].shape[-1]
     R_total, D = h.shape
-    K = R_total // B
     Emb = emb_rows.shape[-1]
-    F4 = semx.shape[-1]
+    F4 = semx.shape[-1] if semx is not None else 4 * D
     F = F4 // 4
     H = D
     Vp = weights["fcw"].shape[-1]
     dt = h.dtype
     P = num_pixels
 
-    G = pick_step_tile(B, K, img_tile, dims=dict(
-        Pp=Pp, E=E, A=A, D=D, Emb=Emb, F4=F4, Vp=Vp,
-        isz=jnp.dtype(dt).itemsize, group=group,
-        isz_enc=1 if quant else None))
-    if G is None:
-        raise ValueError(f"no VMEM-feasible tile G divides B={B} "
-                         f"with G*{K}%8==0")
-    m = min(group, G)
-    while G % m:
-        m -= 1
-    R = G * K
-
-    kernel = _make_kernel(G=G, K=K, Pp=Pp, P=P, E=E, A=A, D=D, Emb=Emb,
-                          F=F, H=H, Vp=Vp, m=m, dt=dt, quant=quant)
+    if attention:
+        B, Pp, E = enc_inputs[0].shape
+        A = enc_inputs[2 if quant else 1].shape[-1]
+        K = R_total // B                    # beam lanes per image
+        topk = K
+        G = pick_step_tile(B, K, img_tile, dims=dict(
+            Pp=Pp, E=E, A=A, D=D, Emb=Emb, F4=F4, Vp=Vp,
+            isz=jnp.dtype(dt).itemsize, group=group,
+            isz_enc=1 if quant else None))
+        if G is None:
+            raise ValueError(f"no VMEM-feasible tile G divides B={B} "
+                             f"with G*{K}%8==0")
+        m = min(group, G)
+        while G % m:
+            m -= 1
+        R = G * K
+        grid = B // G
+    else:
+        # no image axis: chunk the (B*K) rows directly; the head still
+        # emits beam_k candidates per row
+        Pp = E = A = K = 0
+        topk = beam_k
+        G = pick_step_tile(R_total, 1, img_tile, dims=dict(
+            Pp=0, E=0, A=0, D=D, Emb=Emb, F4=F4, Vp=Vp,
+            isz=jnp.dtype(dt).itemsize, attention=False))
+        if G is None:
+            raise ValueError(f"no VMEM-feasible row tile for rows="
+                             f"{R_total}")
+        m = 1
+        R = G
+        grid = R_total // G
 
     const = lambda *shape: pl.BlockSpec(
         shape, lambda b: (0,) * len(shape), memory_space=pltpu.VMEM)
@@ -308,73 +366,121 @@ def _fused_call(weights, enc_inputs, emb_rows, h, c, semx, semh, *,
     rows2 = lambda d: pl.BlockSpec(
         (R, d), lambda b: (b, 0), memory_space=pltpu.VMEM)
 
-    if quant:
-        enc_specs = [chunk3(Pp, E), chunk3(Pp, 1),
-                     chunk3(Pp, A), chunk3(Pp, 1)]
-    else:
-        enc_specs = [chunk3(Pp, E), chunk3(Pp, A)]
+    in_names, in_specs, inputs = [], [], []
 
-    w = weights
+    def add(name, arr, spec):
+        in_names.append(name)
+        in_specs.append(spec)
+        inputs.append(arr)
+
+    if quant:
+        for nm, arr, d1 in (("enc", enc_inputs[0], E),
+                            ("enc_s", enc_inputs[1], 1),
+                            ("ea_q", enc_inputs[2], A),
+                            ("ea_s", enc_inputs[3], 1)):
+            add(nm, arr, chunk3(Pp, d1))
+    elif attention:
+        add("enc", enc_inputs[0], chunk3(Pp, E))
+        add("ea", enc_inputs[1], chunk3(Pp, A))
+    add("emb", emb_rows, rows2(Emb))
+    add("h", h, rows2(D))
+    add("c", c, rows2(D))
+    if cell == "scn":
+        add("semx", semx, rows2(F4))
+        add("semh", semh, rows2(F4))
+    for nm in _weight_names(cell=cell, attention=attention):
+        arr = weights[nm]
+        add(nm, arr, const(*arr.shape))
+
+    out_names = ["h_out", "c_out", "topv", "topi", "lse"]
+    scratch_names = ["bd", "dec", "awe"] if attention else []
+    kernel = _make_kernel(
+        names=tuple(in_names + out_names + scratch_names),
+        G=G, K=K, topk=topk, Pp=Pp, P=P, E=E, A=A, D=D, Emb=Emb,
+        F=F, H=H, Vp=Vp, m=m, R=R, dt=dt, quant=quant, cell=cell,
+        attention=attention)
+
     h_new, c_new, topv, topi, lse = pl.pallas_call(
         kernel,
-        grid=(B // G,),
-        in_specs=enc_specs + [
-            rows2(Emb), rows2(D), rows2(D), rows2(F4), rows2(F4),
-            const(D, A), const(1, A), const(1, A),
-            const(D, E), const(1, E),
-            const(Emb, F4), const(E, F4), const(D, F4),
-            const(F4, H), const(F4, H),
-            const(1, 4 * H), const(1, 4 * H),
-            const(D, Vp), const(1, Vp),
-        ],
+        grid=(grid,),
+        in_specs=in_specs,
         out_specs=(
-            rows2(D), rows2(D), rows2(K), rows2(K), rows2(1),
+            rows2(D), rows2(D), rows2(topk), rows2(topk), rows2(1),
         ),
         out_shape=(
             jax.ShapeDtypeStruct((R_total, D), dt),
             jax.ShapeDtypeStruct((R_total, D), dt),
-            jax.ShapeDtypeStruct((R_total, K), jnp.float32),
-            jax.ShapeDtypeStruct((R_total, K), jnp.int32),
+            jax.ShapeDtypeStruct((R_total, topk), jnp.float32),
+            jax.ShapeDtypeStruct((R_total, topk), jnp.int32),
             jax.ShapeDtypeStruct((R_total, 1), jnp.float32),
         ),
-        scratch_shapes=[
+        scratch_shapes=([
             pltpu.VMEM((m * Pp, m * K), dt),
             pltpu.VMEM((R, A), dt), pltpu.VMEM((R, E), dt),
-        ],
+        ] if attention else []),
         interpret=interpret,
         compiler_params=None if interpret else _compiler_params(),
-    )(*enc_inputs, emb_rows, h, c, semx, semh,
-      w["wda"], w["bda"], w["wf"], w["wfb"], w["bfb"],
-      w["wxe"], w["wxa"], w["wh"], w["wxp"], w["whp"], w["bx"], w["bh"],
-      w["fcw"], w["fcb"])
+    )(*inputs)
     return topv, topi, lse, h_new, c_new
 
 
+def _weight_names(*, cell: str, attention: bool):
+    names = []
+    if attention:
+        names += ["wda", "bda", "wf", "wfb", "bfb"]
+    if cell == "scn":
+        names += ["wxe"]
+        if attention:
+            names += ["wxa"]
+        names += ["wh", "wxp", "whp"]
+    else:
+        names += ["wih", "wh"]
+    names += ["bx", "bh", "fcw", "fcb"]
+    return names
+
+
 def pack_step_weights(params, cfg, dt):
-    """Flatten the attention_scn parameter tree into the kernel's layout
+    """Flatten a decoder parameter tree into the kernel's layout
     (padded fc to a 128-multiple vocab; see beam_decode_records for the
-    same packing in the full-decode kernel)."""
+    same packing in the full-decode kernel).  Branches per model family:
+    attention_scn (attention + SCN), pure_attention (attention + torch
+    LSTM), pure_scn (SCN only)."""
     cell = params["decode_step"]
-    att = params["attention"]
     A, E = cfg.attention_dim, cfg.encoder_dim
     Emb, F, H = cfg.embed_dim, cfg.factored_dim, cfg.decoder_dim
     V = cfg.vocab_size
     Vp = _round_up(V, 128)
-    return {
-        "wda": att["decoder_att"]["w"].astype(dt),
-        "bda": att["decoder_att"]["b"].reshape(1, A).astype(dt),
-        "wf": att["full_att"]["w"].astype(jnp.float32).reshape(1, A),
-        "wfb": params["f_beta"]["w"].astype(dt),
-        "bfb": params["f_beta"]["b"].reshape(1, E).astype(dt),
-        "wxe": cell["w_x"][:Emb].astype(dt),
-        "wxa": cell["w_x"][Emb:].astype(dt),
-        "wh": cell["w_h"].astype(dt),
-        "wxp": cell["w_xp"].reshape(4 * F, H).astype(dt),
-        "whp": cell["w_hp"].reshape(4 * F, H).astype(dt),
-        "bx": cell["b_x"].reshape(1, 4 * H).astype(dt),
-        "bh": cell["b_h"].reshape(1, 4 * H).astype(dt),
+    w = {
         "fcw": jnp.pad(params["fc"]["w"].astype(dt),
                        ((0, 0), (0, Vp - V))),
         "fcb": jnp.pad(params["fc"]["b"].astype(jnp.float32), (0, Vp - V),
                        constant_values=NEG).reshape(1, Vp).astype(dt),
     }
+    if cfg.uses_attention:
+        att = params["attention"]
+        w.update({
+            "wda": att["decoder_att"]["w"].astype(dt),
+            "bda": att["decoder_att"]["b"].reshape(1, A).astype(dt),
+            "wf": att["full_att"]["w"].astype(jnp.float32).reshape(1, A),
+            "wfb": params["f_beta"]["w"].astype(dt),
+            "bfb": params["f_beta"]["b"].reshape(1, E).astype(dt),
+        })
+    if cfg.model_type in ("pure_scn", "attention_scn"):
+        w.update({
+            "wxe": cell["w_x"][:Emb].astype(dt),
+            "wh": cell["w_h"].astype(dt),
+            "wxp": cell["w_xp"].reshape(4 * F, H).astype(dt),
+            "whp": cell["w_hp"].reshape(4 * F, H).astype(dt),
+            "bx": cell["b_x"].reshape(1, 4 * H).astype(dt),
+            "bh": cell["b_h"].reshape(1, 4 * H).astype(dt),
+        })
+        if cfg.uses_attention:
+            w["wxa"] = cell["w_x"][Emb:].astype(dt)
+    else:                                   # pure_attention: torch LSTM
+        w.update({
+            "wih": cell["w_ih"].astype(dt),
+            "wh": cell["w_hh"].astype(dt),
+            "bx": cell["b_ih"].reshape(1, 4 * H).astype(dt),
+            "bh": cell["b_hh"].reshape(1, 4 * H).astype(dt),
+        })
+    return w

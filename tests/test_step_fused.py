@@ -21,8 +21,8 @@ from indonesian_image_captioning_tpu.models import decoders
 from indonesian_image_captioning_tpu.ops.step_pallas import pick_step_tile
 
 
-def tiny_cfg(vocab=50, **kw):
-    return ModelConfig(model_type="attention_scn", vocab_size=vocab,
+def tiny_cfg(vocab=50, model_type="attention_scn", **kw):
+    return ModelConfig(model_type=model_type, vocab_size=vocab,
                        embed_dim=10, attention_dim=8, decoder_dim=12,
                        factored_dim=8, semantic_dim=11, encoder_dim=16,
                        enc_image_size=3, **kw)
@@ -140,9 +140,40 @@ def test_fused_step_int8_matches_steps_int8():
     assert_match(ref, out)
 
 
-def test_fused_step_rejects_unsupported_model():
-    cfg = ModelConfig(model_type="pure_scn", vocab_size=50)
-    params = decoders.init_decoder(jax.random.key(0), cfg)
+def test_fused_step_pure_attention_matches():
+    """pure_attention: attention + torch-order LSTM cell in the kernel
+    (one concat matmul, lstm_step's add association — f32 bit-exact)."""
+    cfg = tiny_cfg(model_type="pure_attention")
+    params = decoders.init_decoder(jax.random.key(30), cfg)
+    V = cfg.vocab_size
+    params["fc"]["b"] = params["fc"]["b"].at[V - 1].set(1.0)
+    enc = jax.random.normal(jax.random.key(31), (8, 9, 16)) * 0.5
+    tags = jnp.zeros((8, cfg.semantic_dim))
+    ref, out = run_both(cfg, params, enc, tags, K=3, T=10)
+    assert int(ref["completed_count"].sum()) > 0
+    assert_match(ref, out)
+
+
+def test_fused_step_pure_scn_matches():
+    """pure_scn: no attention stage — the kernel chunks (B*K) rows
+    directly and fuses cell + head + per-lane top-K."""
+    cfg = tiny_cfg(model_type="pure_scn")
+    params = decoders.init_decoder(jax.random.key(40), cfg)
+    V = cfg.vocab_size
+    params["fc"]["b"] = params["fc"]["b"].at[V - 1].set(1.2)
+    enc = jax.random.normal(jax.random.key(41), (8, 9, 16)) * 0.5
+    tags = jax.random.uniform(jax.random.key(42), (8, cfg.semantic_dim))
+    ref, out = run_both(cfg, params, enc, tags, K=4, T=10)  # R=32 rows
+    assert int(ref["completed_count"].sum()) > 0
+    assert_match(ref, out)
+
+
+def test_fused_step_rejects_unknown_model():
+    cfg = dataclasses.replace(
+        ModelConfig(model_type="pure_scn", vocab_size=50))
+    object.__setattr__(cfg, "model_type", "bogus")
+    params_cfg = ModelConfig(model_type="pure_scn", vocab_size=50)
+    params = decoders.init_decoder(jax.random.key(0), params_cfg)
     enc = jnp.zeros((8, 196, 2048))
     tags = jnp.zeros((8, 1000))
     with pytest.raises(NotImplementedError):
