@@ -143,7 +143,7 @@ def e2e_main(batch: int = 64):
     }))
 
 
-def main(batch: int = 1024):
+def main(batch: int = 1024, model: str = "attention_scn"):
     from indonesian_image_captioning_tpu.core import runtime
     runtime.setup()
     import jax
@@ -155,7 +155,7 @@ def main(batch: int = 1024):
 
     V = 6763  # flickr8k-id vocab (reference corpus_score.py:110-118)
     # bf16 params/activations (TPU-native serving precision)
-    cfg = ModelConfig(model_type="attention_scn", vocab_size=V,
+    cfg = ModelConfig(model_type=model, vocab_size=V,
                       dtype="bfloat16")
     params = decoders.init_decoder(jax.random.key(0), cfg)
     params = jax.tree.map(lambda x: x.astype(jnp.bfloat16), params)
@@ -187,12 +187,15 @@ def main(batch: int = 1024):
     dt = (time.time() - t0) / n_iter
     cps = B / dt
 
-    print(json.dumps({
+    line = {
         "metric": "captions_per_sec_beam5",
         "value": round(cps, 3),
         "unit": "captions/s",
         "vs_baseline": round(cps / REFERENCE_CPU_CAPTIONS_PER_SEC, 1),
-    }))
+    }
+    if model != "attention_scn":
+        line["model"] = model      # family benches (driver reads the default)
+    print(json.dumps(line))
 
 
 if __name__ == "__main__":
@@ -208,8 +211,13 @@ if __name__ == "__main__":
     # (~/.cache/iic_tpu_xla, core/runtime.py) complete in ~40 s.
     ap.add_argument("--batch", type=int, default=None,
                     help="default: 2048 for decode, 256 for e2e")
+    # measured family throughput at b2048 bf16 (2026-08-17): attention_scn
+    # 5799 - pure_attention 5906 - pure_scn 12280 captions/s
+    ap.add_argument("--model", default="attention_scn",
+                    choices=("attention_scn", "pure_attention", "pure_scn"),
+                    help="decoder family for decode mode")
     args = ap.parse_args()
     if args.mode == "e2e":
         e2e_main(args.batch or 256)
     else:
-        main(args.batch or 2048)
+        main(args.batch or 2048, args.model)
