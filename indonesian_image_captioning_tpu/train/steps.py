@@ -139,12 +139,30 @@ def make_caption_train_step(cfg: ModelConfig, tcfg: TrainConfig,
     dropout-at-train-time bug (SURVEY.md §5).
     """
     encode_fn = make_encoders_fn(cfg, tcfg.encoder_dtype)
+    mixed = jnp.dtype(tcfg.decoder_dtype) != jnp.float32
+    cdt = jnp.dtype(tcfg.decoder_dtype)
 
     def step(substate, enc_out, tags, captions, caplens, rng):
         def loss_fn(params):
-            out = decoders.teacher_forcing(
-                params, cfg, enc_out, tags, captions, caplens,
-                dropout_rng=rng, train=True)
+            if mixed:
+                # bf16 compute, f32 master weights: cast inside the loss
+                # so grads return f32 for the clamp/Adam chain; losses
+                # compute in f32 on the cast-back predictions.
+                p = jax.tree.map(
+                    lambda x: x.astype(cdt)
+                    if jnp.issubdtype(x.dtype, jnp.floating) else x, params)
+                out = decoders.teacher_forcing(
+                    p, cfg, enc_out.astype(cdt), tags.astype(cdt),
+                    captions, caplens, dropout_rng=rng, train=True)
+                out = {**out,
+                       "predictions": out["predictions"].astype(jnp.float32),
+                       "alphas": (out["alphas"].astype(jnp.float32)
+                                  if out.get("alphas") is not None
+                                  else out.get("alphas"))}
+            else:
+                out = decoders.teacher_forcing(
+                    params, cfg, enc_out, tags, captions, caplens,
+                    dropout_rng=rng, train=True)
             loss, aux = losses.caption_loss(out, captions, tcfg.alpha_c)
             top5 = losses.masked_topk_accuracy(
                 out["predictions"], captions[:, 1:], out["mask"], 5)

@@ -133,6 +133,56 @@ def test_caption_loss_decreases(data_env):
     assert losses[-1] < losses[0] * 0.9, losses
 
 
+def test_caption_loss_decreases_mixed_precision(data_env):
+    """decoder_dtype="bfloat16" (bf16 compute, f32 master weights): the
+    step must still learn, params/grads stay f32, and the first-step loss
+    must be close to the f32 path's."""
+    import jax
+    import jax.numpy as jnp
+    from indonesian_image_captioning_tpu.core.prng import root_key
+    from indonesian_image_captioning_tpu.data import vocab as vocab_lib
+    from indonesian_image_captioning_tpu.data.datasets import CaptionDataset
+    from indonesian_image_captioning_tpu.data import loader as loader_lib
+    from indonesian_image_captioning_tpu.train import caption as caption_train
+    from indonesian_image_captioning_tpu.train import steps
+
+    wm = vocab_lib.load_json(vocab_lib.wordmap_path(
+        data_env.data_folder, data_env.data_name))
+    cfg = ModelConfig(model_type="attention_scn", vocab_size=len(wm),
+                      embed_dim=16, decoder_dim=16, factored_dim=12,
+                      attention_dim=8, semantic_dim=2, enc_image_size=2,
+                      max_caption_len=12, encoder_arch="resnet50")
+    optimizer = steps.make_optimizer(1e-2, 5.0)
+    state = caption_train.init_state(root_key(0), cfg, optimizer)
+    ds = CaptionDataset(data_env.data_folder, data_env.data_name, "TRAIN")
+    batch = next(iter(loader_lib.iterate(ds, 4)))
+
+    first = {}
+    for dtype in ("float32", "bfloat16"):
+        tcfg = TrainConfig(batch_size=4, decoder_lr=1e-2,
+                           decoder_dtype=dtype)
+        encode_fn, step = steps.make_caption_train_step(
+            cfg, tcfg, optimizer, donate=False)
+        enc_out, tags = encode_fn(state, batch)
+        sub = {"params": jax.tree.map(lambda x: x, state["params"]),
+               "opt_state": state["opt_state"]}
+        hist = []
+        for i in range(8):
+            sub, m = step(sub, enc_out, tags, batch["captions"],
+                          batch["caplens"], jax.random.key(i))
+            hist.append(float(m["loss"]))
+        first[dtype] = hist[0]
+        assert hist[-1] < hist[0] * 0.9, (dtype, hist)
+        assert all(jnp.issubdtype(x.dtype, jnp.floating) is False
+                   or x.dtype == jnp.float32
+                   for x in jax.tree.leaves(sub["params"])), \
+            "master params must stay f32"
+    # bf16 compute rounds activations but the loss must be in the same
+    # ballpark as f32 on the first step
+    assert abs(first["bfloat16"] - first["float32"]) \
+        < 0.05 * abs(first["float32"]) + 0.05, first
+
+
 def _adam_count(opt_state) -> int:
     """Step count inside the (clamp, inject(adam)) optax chain state."""
     from indonesian_image_captioning_tpu.train.steps import is_inject_state
