@@ -35,6 +35,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--fine_tune_encoder", action="store_true",
                    help="jointly fine-tune ResNet stages 2-4 (reference "
                         "fine_tune_encoder flag)")
+    p.add_argument("--decoder_dtype", default=None,
+                   choices=("float32", "bfloat16"),
+                   help="mixed-precision decoder training: bfloat16 = "
+                        "bf16 compute with f32 master weights "
+                        "(TrainConfig.decoder_dtype; default float32 "
+                        "for reference parity)")
     p.add_argument("--mesh", default=None, metavar="D,M",
                    help="device mesh as data,model axis sizes, e.g. 8,1 for "
                         "pure DP or 4,2 for DP+vocab-sharded TP; default "
@@ -95,6 +101,8 @@ def _override(tcfg: TrainConfig, args) -> TrainConfig:
         kw["batch_size"] = args.batch_size
     if args.decoder_lr is not None:
         kw["decoder_lr"] = args.decoder_lr
+    if getattr(args, "decoder_dtype", None):
+        kw["decoder_dtype"] = args.decoder_dtype
     if getattr(args, "mesh", None):
         parts = tuple(int(x) for x in args.mesh.split(","))
         if len(parts) == 1:
