@@ -1,13 +1,13 @@
 """Fused decode-STEP Pallas kernel: attention + cell + vocab head, one call.
 
 Why this shape: the decode step is a serial chain (attend -> f_beta gate ->
-SCN cell -> fc head -> top-k), and on this chip the attention part is ~89%
-HBM DMA of the loop-invariant enc/enc_att (~3.0 ms/step at B=1024 bf16)
-while everything else is MXU/VPU work (~1.5-2 ms).  Run as separate XLA
-ops they SERIALIZE: a TPU core executes one op at a time, so the step pays
-DMA + compute.  Inside one Pallas kernel gridded over image chunks, the
-pipeline prefetches chunk i+1's encoder blocks WHILE chunk i computes the
-cell/head — the step approaches max(DMA, compute) instead of the sum.
+recurrence cell -> fc head -> top-k), and on this chip the attention part
+is ~89% HBM DMA of the loop-invariant enc/enc_att (~3.0 ms/step at B=1024
+bf16) while everything else is MXU/VPU work (~1.5-2 ms).  Run as separate
+XLA ops they SERIALIZE: a TPU core executes one op at a time, so the step
+pays DMA + compute.  Inside one Pallas kernel gridded over image chunks,
+the pipeline prefetches chunk i+1's encoder blocks WHILE chunk i computes
+the cell/head — the step approaches max(DMA, compute) instead of the sum.
 
 Unlike the full-decode megakernel (ops/decode_pallas.py, which keeps enc
 resident across all 51 steps but pays unusable per-chunk utilisation at
@@ -15,21 +15,35 @@ G*K = 80 rows), this kernel holds NOTHING across steps: G=32 images per
 chunk (R = 160 rows per matmul), weights fetched once per call via
 constant blocks, and the beam engine keeps ALL bookkeeping — the kernel
 slots into the existing sparse-head ``step_fn`` protocol by returning
-per-lane top-K logit candidates + logsumexp alongside the new (h, c).
+per-lane top-K candidates + log-sum alongside the new (h, c).
 
-Per-step computation (reference attention_scn.py:217-260, scn_cell.py:
-52-154):  dec = h @ Wda + b;  per image: att[p,k] = wf . relu(ea[p] +
-dec[k]), alpha = softmax_p, awe = alpha^T enc (block-diagonal grouped
-matmul);  gate = sigmoid(h @ Wfb + b);  SCN recurrence on
-[emb; gate*awe];  logits = h' @ Wfc + b;  per-lane top-K of logits by
-K argmax+mask rounds (lax.top_k first-occurrence order) + f32 logsumexp.
+ONE named-ref kernel body serves all three reference decoder families
+(loader.py:5-6 model registry):
+  * attention_scn — attention + SCN cell (reference attention_scn.py:
+    217-260, scn_cell.py:52-154)
+  * pure_attention — attention + torch-order LSTM cell
+    (pure_attention.py:228-266); the cell runs as one concat matmul with
+    lstm_step's add association, so f32 decode is bit-exact with it
+  * pure_scn — no attention stage (pure_scn.py:196-233): rows are
+    chunked directly and the fusion win is cell + head + in-VMEM top-K
+plus an int8 serving mode (enc_quant="int8") that reads quantized
+encoder state with per-pixel scales folded into alpha.
 
-Exactness: matches the step-loop XLA path bit-for-beam at f32; at bf16
-the candidate scores are f32 (logit - lse) where the XLA path rounds
-log-softmax to bf16 — near-ties can resolve differently (same contract as
-every serving-precision choice here, see ModelConfig.decode_impl).
-Embedding lookup stays OUTSIDE (XLA gather is cheap); the kernel takes the
-embedded rows.
+Per-step computation (attention models):  dec = h @ Wda + b;  per image:
+att[p,k] = wf . relu(ea[p] + dec[k]), alpha = softmax_p, awe = alpha^T
+enc (block-diagonal grouped matmul);  gate = sigmoid(h @ Wfb + b);  cell
+recurrence on [emb; gate*awe];  logits = h' @ Wfc + b;  per-lane top-K
+of max-shifted logits by K argmax+mask rounds (lax.top_k
+first-occurrence order) + f32 log-sum, so the consumer's ``topv - lse``
+replicates log_softmax bit-for-bit.
+
+Exactness: bit-for-beam with the step-loop engine at f32 under the same
+attention backend (tests/test_step_fused.py); at bf16 the steps path
+rounds log-softmax to bf16 and the TPU steps engine uses the pallas_mxu
+attention's own FP ordering — near-ties can resolve differently between
+the two exact paths (ModelConfig.decode_impl docs).  Embedding lookup
+stays OUTSIDE (XLA gather is cheap); the kernel takes embedded rows.
+Measured wins vs the steps engine are tabulated in BASELINE.md.
 """
 
 from __future__ import annotations
@@ -41,7 +55,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .attention_pallas import _compiler_params, pad_pixels
+from .attention_pallas import _compiler_params
 
 NEG = -1e30
 
