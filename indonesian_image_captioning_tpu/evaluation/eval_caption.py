@@ -70,12 +70,13 @@ def evaluate(state: Dict, cfg: ModelConfig, data_cfg: DataConfig,
             st["tagger"], st["tagger_stats"], images, train=False,
             arch=cfg.encoder_arch)[0]
 
-    @jax.jit
-    def run_beam(st, enc_out, tags):
+    def _beam(st, enc_out, tags):
         out = caption_beam_search(st["params"], cfg, enc_out, tags,
                                   start_id=start_id, end_id=end_id,
                                   beam_cfg=beam_cfg)
         return out["sequences"], out["lengths"]
+
+    run_beam = jax.jit(_beam)
 
     def encode_and_decode(st, images_u8):
         enc_out = run_encoder(st, images_u8)
@@ -97,6 +98,26 @@ def evaluate(state: Dict, cfg: ModelConfig, data_cfg: DataConfig,
                              f"by the data axis {mesh_shape[0]}")
         state = jax.device_put(
             state, jax.tree.map(lambda _: NamedSharding(mesh, P()), state))
+
+        # shard_map the decode over the data axis: each shard beam-decodes
+        # its local batch independently (per-image decode needs no
+        # collectives), so the Pallas fused-step kernel runs PER SHARD
+        # instead of hitting the SPMD partitioner as an opaque custom call
+        # (which would replicate the batch).  The fused-vs-steps gate
+        # evaluates on the LOCAL batch inside the shard.
+        import inspect
+
+        from jax.experimental.shard_map import shard_map
+        # the decode is collective-free, so disable the varying-manual-
+        # axes check (the while_loop carry starts from replicated
+        # constants, which the checker rejects); kwarg name differs
+        # across jax versions.
+        flag = ("check_vma" if "check_vma"
+                in inspect.signature(shard_map).parameters else "check_rep")
+        run_beam = jax.jit(shard_map(
+            _beam, mesh=mesh,
+            in_specs=(P(), P(DATA_AXIS), P(DATA_AXIS)),
+            out_specs=(P(DATA_AXIS), P(DATA_AXIS)), **{flag: False}))
 
         def place_images(x):
             return jax.device_put(

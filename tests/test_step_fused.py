@@ -168,6 +168,47 @@ def test_fused_step_pure_scn_matches():
     assert_match(ref, out)
 
 
+def test_fused_step_under_shard_map_matches_unsharded():
+    """Data-parallel decode (the eval_caption mesh path): shard_map over
+    the 8-device CPU mesh with the fused kernel engaged PER SHARD (local
+    B=2, K=4 -> G=2 tile) must reproduce the unsharded steps engine."""
+    import inspect
+
+    import numpy as np
+    from jax.experimental.shard_map import shard_map
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    cfg = tiny_cfg(vocab=40, decode_impl="fused_step")
+    params = decoders.init_decoder(jax.random.key(50), cfg)
+    V = cfg.vocab_size
+    params["fc"]["b"] = params["fc"]["b"].at[V - 1].set(1.0)
+    enc = jax.random.normal(jax.random.key(51), (16, 9, 16)) * 0.4
+    tags = jax.random.uniform(jax.random.key(52), (16, 11))
+    kw = dict(start_id=V - 2, end_id=V - 1,
+              beam_cfg=BeamConfig(beam_size=4, max_steps=9))
+
+    mesh = Mesh(np.array(jax.devices()[:8]).reshape(8), ("data",))
+
+    def _beam(p, e, t):
+        out = caption_beam_search(p, cfg, e, t, **kw)
+        return out["sequences"], out["lengths"]
+
+    flag = ("check_vma" if "check_vma"
+            in inspect.signature(shard_map).parameters else "check_rep")
+    sharded = jax.jit(shard_map(
+        _beam, mesh=mesh, in_specs=(P(), P("data"), P("data")),
+        out_specs=(P("data"), P("data")), **{flag: False}))
+    enc_s = jax.device_put(enc, NamedSharding(mesh, P("data", None, None)))
+    tags_s = jax.device_put(tags, NamedSharding(mesh, P("data", None)))
+    seqs, lens = sharded(params, enc_s, tags_s)
+
+    ref = caption_beam_search(
+        params, dataclasses.replace(cfg, decode_impl="steps"), enc, tags,
+        **kw)
+    assert (jax.device_get(seqs) == jax.device_get(ref["sequences"])).all()
+    assert (jax.device_get(lens) == jax.device_get(ref["lengths"])).all()
+
+
 def test_fused_step_rejects_unknown_model():
     cfg = dataclasses.replace(
         ModelConfig(model_type="pure_scn", vocab_size=50))
