@@ -42,8 +42,8 @@ def caption_beam_search(params, cfg: ModelConfig, enc, tags, *,
     if cfg.uses_attention:
         step_tile_ok = pick_step_tile(
             enc_flat.shape[0], beam_cfg.beam_size,
-            dims=dims_for_cfg(cfg, enc_flat.dtype.itemsize,
-                              quant=quant)) is not None
+            dims=dims_for_cfg(cfg, enc_flat.dtype.itemsize, quant=quant,
+                              num_pixels=enc_flat.shape[1])) is not None
     else:
         # pure_scn chunks (B*K) rows directly — no image-tile constraint
         step_tile_ok = pick_step_tile(

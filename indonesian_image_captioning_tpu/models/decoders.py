@@ -190,11 +190,12 @@ def make_beam_step(params, cfg: ModelConfig, enc, tags, *,
     State arrays carry a (B, K, ...) leading shape.  step_fn(state, prev)
     returns (logprobs (B, K, V), new_state, emit-dict).
 
-    fused_step=True routes the whole step (attention + f_beta + SCN cell +
+    fused_step=True routes the whole step (attention + f_beta + cell +
     vocab head + per-lane top-K) through ONE Pallas kernel
     (ops/step_pallas.py) so the next image chunk's encoder DMA overlaps
-    the current chunk's compute.  attention_scn only; emits no alphas;
-    candidate scores are f32 (see decode_impl docs).
+    the current chunk's compute.  All three decoder families (see
+    _make_fused_beam_step); emits no alphas; candidate scores are f32
+    (see decode_impl docs).
     """
     if fused_step:
         return _make_fused_beam_step(params, cfg, enc, tags)
@@ -355,11 +356,13 @@ def _make_fused_beam_step(params, cfg: ModelConfig, enc, tags):
         if cfg.enc_quant == "int8":
             enc_inputs = quantize_pixels(enc_flat) + quantize_pixels(enc_att)
             step_kernel = functools.partial(
-                fused_decode_step_q, num_pixels=P, cell=cell_kind)
+                fused_decode_step_q, num_pixels=P, cell=cell_kind,
+                vocab_size=cfg.vocab_size)
         else:
             enc_inputs = (pad_pixels(enc_flat), pad_pixels(enc_att))
             step_kernel = functools.partial(
-                fused_decode_step, num_pixels=P, cell=cell_kind)
+                fused_decode_step, num_pixels=P, cell=cell_kind,
+                vocab_size=cfg.vocab_size)
     else:
         enc_inputs = ()
         step_kernel = None                  # bound per beam size below
@@ -387,7 +390,8 @@ def _make_fused_beam_step(params, cfg: ModelConfig, enc, tags):
         else:
             semx = semh = None
         kern = step_kernel if step_kernel is not None else \
-            functools.partial(fused_decode_step_noattn, beam_k=K)
+            functools.partial(fused_decode_step_noattn, beam_k=K,
+                              vocab_size=cfg.vocab_size)
         topv, topi, lse, h_new, c_new = kern(
             weights, *enc_inputs, emb_rows.astype(dt),
             h.reshape(B_ * K, D), state["c"].reshape(B_ * K, D),

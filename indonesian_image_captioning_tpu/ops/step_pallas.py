@@ -55,13 +55,9 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .attention_pallas import _compiler_params
+from .attention_pallas import _compiler_params, _round_up
 
 NEG = -1e30
-
-
-def _round_up(x: int, m: int) -> int:
-    return -(-x // m) * m
 
 
 # VMEM budget for the G picker: just under the 114 MB scoped limit the
@@ -117,11 +113,16 @@ def pick_step_tile(B: int, K: int, img_tile: int = 32, *, dims=None):
     return None
 
 
-def dims_for_cfg(cfg, itemsize: int, quant: bool = False):
+def dims_for_cfg(cfg, itemsize: int, quant: bool = False,
+                 num_pixels=None):
     """Kernel-dimension dict for :func:`pick_step_tile`'s VMEM estimate.
-    quant: int8 encoder state (32-multiple pixel pad, 1-byte windows)."""
+    quant: int8 encoder state (32-multiple pixel pad, 1-byte windows).
+    num_pixels: the ACTUAL pixel count of the encoding being decoded —
+    pass it when available so the gate's estimate matches the kernel's
+    own (callers may feed encodings larger than cfg.num_pixels)."""
     scn = cfg.model_type in ("pure_scn", "attention_scn")
-    return dict(Pp=_round_up(cfg.num_pixels, 32 if quant else 16),
+    P = cfg.num_pixels if num_pixels is None else num_pixels
+    return dict(Pp=_round_up(P, 32 if quant else 16),
                 E=cfg.encoder_dim,
                 A=cfg.attention_dim, D=cfg.decoder_dim, Emb=cfg.embed_dim,
                 F4=4 * (cfg.factored_dim if scn else cfg.decoder_dim),
@@ -131,7 +132,7 @@ def dims_for_cfg(cfg, itemsize: int, quant: bool = False):
 
 
 def _make_kernel(*, names, G, K, topk, Pp, P, E, A, D, Emb, F, H, Vp, m, R,
-                 dt, quant=False, cell="scn", attention=True):
+                 dt, V=None, quant=False, cell="scn", attention=True):
     """Build the fused-step kernel body.
 
     names: ordered ref names (inputs + outputs + scratch) matching the
@@ -257,11 +258,17 @@ def _make_kernel(*, names, G, K, topk, Pp, P, E, A, D, Emb, F, H, Vp, m, R,
         logits = (dot(h_new, r["fcw"][:]).astype(dt)
                   + r["fcb"][:].astype(dt))                 # (R, Vp)
         lg = logits.astype(jnp.float32)
+        cols_v = jax.lax.broadcasted_iota(jnp.int32, (R, Vp), 1)
+        if V is not None and V < Vp:
+            # -inf (not the finite NEG pad of fcb) so padded ids can never
+            # win a top-K round even if real logits underflow below -1e30,
+            # and so a pathological all-tiny row can't make a padded
+            # column the row max (which would corrupt lse via exp(0))
+            lg = jnp.where(cols_v < V, lg, float("-inf"))
         mrow = jnp.max(lg, axis=1, keepdims=True)
         shifted = lg - mrow
         r["lse"][:] = jnp.log(jnp.sum(jnp.exp(shifted), axis=1,
                                       keepdims=True))
-        cols_v = jax.lax.broadcasted_iota(jnp.int32, (R, Vp), 1)
         work = shifted
         for q in range(topk):
             v = jnp.max(work, axis=1, keepdims=True)
@@ -275,10 +282,11 @@ def _make_kernel(*, names, G, K, topk, Pp, P, E, A, D, Emb, F, H, Vp, m, R,
 
 @functools.partial(
     jax.jit, static_argnames=("num_pixels", "img_tile", "group",
-                              "interpret", "cell"))
+                              "interpret", "cell", "vocab_size"))
 def fused_decode_step(weights, enc_p, enc_att_p, emb_rows, h, c, semx, semh,
                       *, num_pixels: int, img_tile: int = 32,
-                      group: int = 8, interpret=None, cell: str = "scn"):
+                      group: int = 8, interpret=None, cell: str = "scn",
+                      vocab_size=None):
     """One fused decode step over (B, K) beams chunked into image tiles.
 
     weights: dict from :func:`pack_step_weights`.
@@ -290,15 +298,17 @@ def fused_decode_step(weights, enc_p, enc_att_p, emb_rows, h, c, semx, semh,
     """
     return _fused_call(weights, (enc_p, enc_att_p), emb_rows, h, c,
                        semx, semh, num_pixels=num_pixels, cell=cell,
-                       img_tile=img_tile, group=group, interpret=interpret)
+                       img_tile=img_tile, group=group, interpret=interpret,
+                       vocab_size=vocab_size)
 
 
 @functools.partial(
     jax.jit, static_argnames=("num_pixels", "img_tile", "group",
-                              "interpret", "cell"))
+                              "interpret", "cell", "vocab_size"))
 def fused_decode_step_q(weights, enc_q, enc_s, ea_q, ea_s, emb_rows, h, c,
                         semx, semh, *, num_pixels: int, img_tile: int = 32,
-                        group: int = 8, interpret=None, cell: str = "scn"):
+                        group: int = 8, interpret=None, cell: str = "scn",
+                        vocab_size=None):
     """int8 serving-mode variant of :func:`fused_decode_step`.
 
     enc_q/ea_q: (B, Pp, E|A) int8, enc_s/ea_s: (B, Pp, 1) f32 — from
@@ -308,26 +318,29 @@ def fused_decode_step_q(weights, enc_q, enc_s, ea_q, ea_s, emb_rows, h, c,
     unquantized path (ModelConfig.enc_quant docs)."""
     return _fused_call(weights, (enc_q, enc_s, ea_q, ea_s), emb_rows, h, c,
                        semx, semh, num_pixels=num_pixels, cell=cell,
-                       img_tile=img_tile, group=group, interpret=interpret)
+                       img_tile=img_tile, group=group, interpret=interpret,
+                       vocab_size=vocab_size)
 
 
 @functools.partial(
-    jax.jit, static_argnames=("beam_k", "row_tile", "interpret"))
+    jax.jit, static_argnames=("beam_k", "row_tile", "interpret",
+                              "vocab_size"))
 def fused_decode_step_noattn(weights, emb_rows, h, c, semx, semh, *,
                              beam_k: int, row_tile: int = 256,
-                             interpret=None):
+                             interpret=None, vocab_size=None):
     """pure_scn variant: no attention stage, no encoder state at all —
     the fusion win is the cell+head chain and the in-VMEM top-K (no
     (B*K, V) logit round-trip to HBM).  beam_k: per-lane candidate
     count (the beam size); rows are chunked row_tile at a time."""
     return _fused_call(weights, (), emb_rows, h, c, semx, semh,
                        num_pixels=0, cell="scn", img_tile=row_tile,
-                       group=1, interpret=interpret, beam_k=beam_k)
+                       group=1, interpret=interpret, beam_k=beam_k,
+                       vocab_size=vocab_size)
 
 
 def _fused_call(weights, enc_inputs, emb_rows, h, c, semx, semh, *,
                 num_pixels, img_tile, group, interpret, cell="scn",
-                beam_k=None):
+                beam_k=None, vocab_size=None):
     attention = len(enc_inputs) > 0
     quant = len(enc_inputs) == 4
     if interpret is None:
@@ -411,8 +424,8 @@ def _fused_call(weights, enc_inputs, emb_rows, h, c, semx, semh, *,
     kernel = _make_kernel(
         names=tuple(in_names + out_names + scratch_names),
         G=G, K=K, topk=topk, Pp=Pp, P=P, E=E, A=A, D=D, Emb=Emb,
-        F=F, H=H, Vp=Vp, m=m, R=R, dt=dt, quant=quant, cell=cell,
-        attention=attention)
+        F=F, H=H, Vp=Vp, m=m, R=R, dt=dt, V=vocab_size, quant=quant,
+        cell=cell, attention=attention)
 
     h_new, c_new, topv, topi, lse = pl.pallas_call(
         kernel,

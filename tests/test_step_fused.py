@@ -72,6 +72,22 @@ def test_pick_step_tile_vmem_budget():
     assert g_coco is not None and g_coco <= g_bf16
 
 
+def test_dims_for_cfg_uses_actual_pixel_count():
+    """The decode-api gate must budget for the encoding actually being
+    decoded, not cfg.num_pixels: a caller feeding a larger feature map
+    (e.g. 28x28 instead of 14x14) quadruples the per-image encoder-state
+    VMEM, so the same batch needs a smaller image tile."""
+    from indonesian_image_captioning_tpu.ops.step_pallas import dims_for_cfg
+
+    flagship = ModelConfig(model_type="attention_scn", vocab_size=6763)
+    default = dims_for_cfg(flagship, 4)
+    big = dims_for_cfg(flagship, 4, num_pixels=28 * 28)
+    assert default["Pp"] < big["Pp"]
+    g_default = pick_step_tile(1024, 5, dims=default)
+    g_big = pick_step_tile(1024, 5, dims=big)
+    assert g_big is None or g_big < g_default
+
+
 def test_fused_step_matches_engine_no_completions():
     cfg = tiny_cfg()
     params = decoders.init_decoder(jax.random.key(0), cfg)
