@@ -44,6 +44,16 @@ attention's own FP ordering — near-ties can resolve differently between
 the two exact paths (ModelConfig.decode_impl docs).  Embedding lookup
 stays OUTSIDE (XLA gather is cheap); the kernel takes embedded rows.
 Measured wins vs the steps engine are tabulated in BASELINE.md.
+
+Window pipelining (``pipeline=``): "auto" lets Mosaic's block pipeline
+stream the per-chunk enc/enc_att windows; "manual" keeps those two
+inputs in HBM (``memory_space=ANY``) and the kernel double-buffers them
+itself with ``pltpu.make_async_copy`` — chunk i+1's copies are issued
+before chunk i's compute, one contiguous DMA per window per chunk.  The
+compute body is shared, so both modes are bit-identical
+(tests/test_step_fused.py::test_fused_step_manual_pipeline_bit_exact);
+VMEM cost is the same (explicit 2-slot scratch replaces Mosaic's
+double-buffered windows, so ``_estimate_vmem``'s ``win`` term stands).
 """
 
 from __future__ import annotations
@@ -132,7 +142,8 @@ def dims_for_cfg(cfg, itemsize: int, quant: bool = False,
 
 
 def _make_kernel(*, names, G, K, topk, Pp, P, E, A, D, Emb, F, H, Vp, m, R,
-                 dt, V=None, quant=False, cell="scn", attention=True):
+                 dt, V=None, quant=False, cell="scn", attention=True,
+                 ablate=None, manual=False):
     """Build the fused-step kernel body.
 
     names: ordered ref names (inputs + outputs + scratch) matching the
@@ -143,7 +154,13 @@ def _make_kernel(*, names, G, K, topk, Pp, P, E, A, D, Emb, F, H, Vp, m, R,
     "lstm" (torch nn.LSTMCell, order i,f,g,o — lstm_cell.py).
     attention: False drops the whole attention stage (pure_scn: the step
     reads no encoder state; R rows are chunked directly and K is unused).
-    topk: head candidates per row (the beam size)."""
+    topk: head candidates per row (the beam size).
+    ablate: INTERNAL, profiling only (tools/exp_step_parts.py) — None for
+    production.  Strips one stage while keeping the DMA schedule intact so
+    stage costs can be located under the pipeline's DMA/compute overlap:
+    "dma" (no compute at all), "attend_const" (constant attention scores —
+    skips the relu score passes, keeps softmax + weighted sum),
+    "no_cell" (identity recurrence), "no_head" (skip logits + top-K)."""
 
     def dot(a, b):
         return jax.lax.dot_general(a, b, (((1,), (0,)), ((), ())),
@@ -161,6 +178,67 @@ def _make_kernel(*, names, G, K, topk, Pp, P, E, A, D, Emb, F, H, Vp, m, R,
         c = r["c"][:]
         emb_ref = r["emb"]
 
+        if manual:
+            # Explicit double-buffered DMA of the big encoder-state
+            # windows: enc/ea live in HBM (memory_space=ANY); chunk i+1's
+            # copies are issued BEFORE chunk i's compute so the DMA
+            # engines stream the next windows while the MXU/VPU work.
+            i = pl.program_id(0)
+            n = pl.num_programs(0)
+            enc_buf, ea_buf, sem = r["enc_buf"], r["ea_buf"], r["sem"]
+
+            def dmas(slot, chunk):
+                return (
+                    pltpu.make_async_copy(
+                        r["enc"].at[pl.ds(chunk * G, G)],
+                        enc_buf.at[slot], sem.at[slot, 0]),
+                    pltpu.make_async_copy(
+                        r["ea"].at[pl.ds(chunk * G, G)],
+                        ea_buf.at[slot], sem.at[slot, 1]),
+                )
+
+            @pl.when(i == 0)
+            def _():
+                for d in dmas(0, 0):
+                    d.start()
+
+            @pl.when(i + 1 < n)
+            def _():
+                for d in dmas((i + 1) % 2, i + 1):
+                    d.start()
+
+            slot = i % 2
+            for d in dmas(slot, i):
+                d.wait()
+
+            def enc_at(idx):
+                return enc_buf[slot, idx]
+
+            def ea_at(g):
+                return ea_buf[slot, g]
+        else:
+            def enc_at(idx):
+                return r["enc"][idx]
+
+            def ea_at(g):
+                return (r["ea_q"][g].astype(dt) * r["ea_s"][g].astype(dt)
+                        if quant else r["ea"][g])
+
+        if ablate == "dma":
+            # Thin touches keep every input window live; no real compute.
+            hx = h + emb_ref[:, 0:1]
+            if attention:
+                ea_ref = r["ea_q"] if quant else r["ea"]
+                hx = hx + (r["enc"][0, 0:8, 0:1]
+                           + ea_ref[0, 0:8, 0:1]).astype(dt) \
+                    .sum(axis=0, keepdims=True)
+            r["h_out"][:] = hx
+            r["c_out"][:] = c
+            r["topv"][:] = jnp.zeros_like(r["topv"])
+            r["topi"][:] = jnp.zeros_like(r["topi"])
+            r["lse"][:] = jnp.zeros_like(r["lse"])
+            return
+
         if attention:
             # ---- attention (attend_fused_v3 schedule) ----
             # quant mode replaces (enc, ea) with (enc_q, enc_s, ea_q,
@@ -174,16 +252,20 @@ def _make_kernel(*, names, G, K, topk, Pp, P, E, A, D, Emb, F, H, Vp, m, R,
                 bd_scr[:] = jnp.zeros_like(bd_scr)
                 for j in range(m):
                     g = base + j
-                    if quant:
-                        ea = r["ea_q"][g].astype(dt) * r["ea_s"][g].astype(dt)
-                    else:
-                        ea = r["ea"][g]                     # (Pp, A)
+                    ea = ea_at(g)                           # (Pp, A)
                     dk = dec_scr[g * K:(g + 1) * K, :]
-                    cols = []
-                    for k in range(K):
-                        e = jnp.maximum(ea + dk[k:k + 1, :], 0)
-                        cols.append(jnp.sum(e * wf, axis=1, keepdims=True))
-                    att = jnp.concatenate(cols, axis=1).astype(jnp.float32)
+                    if ablate == "attend_const":
+                        att = jnp.broadcast_to(
+                            jnp.sum(dk, axis=1)[None, :],
+                            (Pp, K)).astype(jnp.float32)
+                    else:
+                        cols = []
+                        for k in range(K):
+                            e = jnp.maximum(ea + dk[k:k + 1, :], 0)
+                            cols.append(jnp.sum(e * wf, axis=1,
+                                                keepdims=True))
+                        att = jnp.concatenate(cols, axis=1) \
+                            .astype(jnp.float32)
                     if P < Pp:
                         rows = jax.lax.broadcasted_iota(
                             jnp.int32, (Pp, K), 0)
@@ -198,7 +280,7 @@ def _make_kernel(*, names, G, K, topk, Pp, P, E, A, D, Emb, F, H, Vp, m, R,
                         alpha = alpha * r["enc_s"][g]       # (Pp, 1) f32
                     bd_scr[j * Pp:(j + 1) * Pp, j * K:(j + 1) * K] = \
                         alpha.astype(bd_scr.dtype)
-                enc_grp = r["enc"][base:base + m].reshape(m * Pp, E)
+                enc_grp = enc_at(pl.ds(base, m)).reshape(m * Pp, E)
                 if quant:
                     enc_grp = enc_grp.astype(dt)
                 awe_scr[base * K:(base + m) * K, :] = jax.lax.dot_general(
@@ -208,7 +290,10 @@ def _make_kernel(*, names, G, K, topk, Pp, P, E, A, D, Emb, F, H, Vp, m, R,
                        + r["bfb"][:].astype(dt))
             awe = gate * awe_scr[:]                         # (R, E)
 
-        if cell == "scn":
+        if ablate == "no_cell":
+            h_new = h + awe[:, :1] if attention else h
+            c_new = c
+        elif cell == "scn":
             # ---- SCN recurrence (models/scn_cell.scn_step) ----
             xin = dot(emb_ref[:], r["wxe"][:]).astype(dt)
             if attention:
@@ -243,10 +328,17 @@ def _make_kernel(*, names, G, K, topk, Pp, P, E, A, D, Emb, F, H, Vp, m, R,
             f_g = sig(pre[1])
             c_t = tnh(pre[2])
             o_g = sig(pre[3])
-        c_new = f_g * c + i_g * c_t
-        h_new = o_g * tnh(c_new)
+        if ablate != "no_cell":
+            c_new = f_g * c + i_g * c_t
+            h_new = o_g * tnh(c_new)
         r["h_out"][:] = h_new
         r["c_out"][:] = c_new
+
+        if ablate == "no_head":
+            r["topv"][:] = h_new[:, :topk].astype(jnp.float32)
+            r["topi"][:] = jnp.zeros_like(r["topi"])
+            r["lse"][:] = h_new[:, :1].astype(jnp.float32)
+            return
 
         # ---- vocab head: logits, f32 log-sum, per-lane top-K ----
         # Emitted values replicate log_softmax's float ops exactly: work
@@ -282,11 +374,12 @@ def _make_kernel(*, names, G, K, topk, Pp, P, E, A, D, Emb, F, H, Vp, m, R,
 
 @functools.partial(
     jax.jit, static_argnames=("num_pixels", "img_tile", "group",
-                              "interpret", "cell", "vocab_size"))
+                              "interpret", "cell", "vocab_size", "ablate",
+                              "pipeline"))
 def fused_decode_step(weights, enc_p, enc_att_p, emb_rows, h, c, semx, semh,
                       *, num_pixels: int, img_tile: int = 32,
                       group: int = 8, interpret=None, cell: str = "scn",
-                      vocab_size=None):
+                      vocab_size=None, ablate=None, pipeline="auto"):
     """One fused decode step over (B, K) beams chunked into image tiles.
 
     weights: dict from :func:`pack_step_weights`.
@@ -299,7 +392,8 @@ def fused_decode_step(weights, enc_p, enc_att_p, emb_rows, h, c, semx, semh,
     return _fused_call(weights, (enc_p, enc_att_p), emb_rows, h, c,
                        semx, semh, num_pixels=num_pixels, cell=cell,
                        img_tile=img_tile, group=group, interpret=interpret,
-                       vocab_size=vocab_size)
+                       vocab_size=vocab_size, ablate=ablate,
+                       pipeline=pipeline)
 
 
 @functools.partial(
@@ -340,11 +434,13 @@ def fused_decode_step_noattn(weights, emb_rows, h, c, semx, semh, *,
 
 def _fused_call(weights, enc_inputs, emb_rows, h, c, semx, semh, *,
                 num_pixels, img_tile, group, interpret, cell="scn",
-                beam_k=None, vocab_size=None):
+                beam_k=None, vocab_size=None, ablate=None, pipeline="auto"):
     attention = len(enc_inputs) > 0
     quant = len(enc_inputs) == 4
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
+    manual = (pipeline == "manual" and attention and not quant
+              and ablate is None)
     R_total, D = h.shape
     Emb = emb_rows.shape[-1]
     F4 = semx.shape[-1] if semx is not None else 4 * D
@@ -406,6 +502,10 @@ def _fused_call(weights, enc_inputs, emb_rows, h, c, semx, semh, *,
                             ("ea_q", enc_inputs[2], A),
                             ("ea_s", enc_inputs[3], 1)):
             add(nm, arr, chunk3(Pp, d1))
+    elif attention and manual:
+        # HBM-resident; the kernel double-buffers chunks itself
+        add("enc", enc_inputs[0], pl.BlockSpec(memory_space=pl.ANY))
+        add("ea", enc_inputs[1], pl.BlockSpec(memory_space=pl.ANY))
     elif attention:
         add("enc", enc_inputs[0], chunk3(Pp, E))
         add("ea", enc_inputs[1], chunk3(Pp, A))
@@ -421,11 +521,19 @@ def _fused_call(weights, enc_inputs, emb_rows, h, c, semx, semh, *,
 
     out_names = ["h_out", "c_out", "topv", "topi", "lse"]
     scratch_names = ["bd", "dec", "awe"] if attention else []
+    scratch_shapes = ([pltpu.VMEM((m * Pp, m * K), dt),
+                       pltpu.VMEM((R, A), dt), pltpu.VMEM((R, E), dt)]
+                      if attention else [])
+    if manual:
+        scratch_names += ["enc_buf", "ea_buf", "sem"]
+        scratch_shapes += [pltpu.VMEM((2, G, Pp, E), dt),
+                           pltpu.VMEM((2, G, Pp, A), dt),
+                           pltpu.SemaphoreType.DMA((2, 2))]
     kernel = _make_kernel(
         names=tuple(in_names + out_names + scratch_names),
         G=G, K=K, topk=topk, Pp=Pp, P=P, E=E, A=A, D=D, Emb=Emb,
         F=F, H=H, Vp=Vp, m=m, R=R, dt=dt, V=vocab_size, quant=quant,
-        cell=cell, attention=attention)
+        cell=cell, attention=attention, ablate=ablate, manual=manual)
 
     h_new, c_new, topv, topi, lse = pl.pallas_call(
         kernel,
@@ -441,10 +549,7 @@ def _fused_call(weights, enc_inputs, emb_rows, h, c, semx, semh, *,
             jax.ShapeDtypeStruct((R_total, topk), jnp.int32),
             jax.ShapeDtypeStruct((R_total, 1), jnp.float32),
         ),
-        scratch_shapes=([
-            pltpu.VMEM((m * Pp, m * K), dt),
-            pltpu.VMEM((R, A), dt), pltpu.VMEM((R, E), dt),
-        ] if attention else []),
+        scratch_shapes=scratch_shapes,
         interpret=interpret,
         compiler_params=None if interpret else _compiler_params(),
     )(*inputs)

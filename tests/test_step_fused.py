@@ -225,6 +225,42 @@ def test_fused_step_under_shard_map_matches_unsharded():
     assert (jax.device_get(lens) == jax.device_get(ref["lengths"])).all()
 
 
+def test_fused_step_manual_pipeline_bit_exact():
+    """pipeline="manual" (explicit double-buffered make_async_copy DMA of
+    the encoder-state windows) must be bit-identical to the automatic
+    Mosaic window pipeline — the compute body is shared; only the DMA
+    schedule differs."""
+    from indonesian_image_captioning_tpu.models import attention as attn
+    from indonesian_image_captioning_tpu.models import scn_cell
+    from indonesian_image_captioning_tpu.ops.attention_pallas import pad_pixels
+    from indonesian_image_captioning_tpu.ops.step_pallas import (
+        fused_decode_step, pack_step_weights)
+
+    cfg = tiny_cfg(vocab=64)
+    params = decoders.init_decoder(jax.random.key(60), cfg)
+    B, K = 16, 4                              # two G=8 chunks
+    R = B * K
+    P = cfg.num_pixels
+    F4 = 4 * cfg.factored_dim
+    dt = jnp.float32
+    enc = jax.random.normal(jax.random.key(61), (B, P, cfg.encoder_dim)) * 0.3
+    ea = attn.precompute(params["attention"], enc)
+    tags = jax.random.uniform(jax.random.key(62), (B, cfg.semantic_dim))
+    sx, sh = scn_cell.semantic_projections(params["decode_step"], tags)
+    argv = (pack_step_weights(params, cfg, dt), pad_pixels(enc),
+            pad_pixels(ea),
+            jax.random.normal(jax.random.key(63), (R, cfg.embed_dim)) * 0.3,
+            jax.random.normal(jax.random.key(64), (R, cfg.decoder_dim)) * 0.3,
+            jnp.zeros((R, cfg.decoder_dim), dt),
+            jnp.repeat(sx.reshape(B, F4), K, axis=0),
+            jnp.repeat(sh.reshape(B, F4), K, axis=0))
+    kw = dict(num_pixels=P, img_tile=8, vocab_size=cfg.vocab_size)
+    auto = fused_decode_step(*argv, pipeline="auto", **kw)
+    man = fused_decode_step(*argv, pipeline="manual", **kw)
+    for name, x, y in zip(("topv", "topi", "lse", "h", "c"), auto, man):
+        assert jnp.array_equal(x, y), name
+
+
 def test_fused_step_rejects_unknown_model():
     cfg = dataclasses.replace(
         ModelConfig(model_type="pure_scn", vocab_size=50))
