@@ -128,6 +128,15 @@ class ModelConfig:
     #             exact paths (the standard serving-precision contract).
     #   "auto"  — "fused_step" on TPU when eligible, else "steps".
     decode_impl: str = "auto"
+    # Window pipelining inside the fused step kernel (attention models,
+    # unquantized state only; ignored elsewhere).  "auto": Mosaic's block
+    # pipeline streams the per-chunk enc/enc_att windows.  "manual": those
+    # two inputs stay in HBM and the kernel double-buffers them itself
+    # with explicit make_async_copy DMA — one contiguous copy per window
+    # per chunk, issued a chunk ahead.  Both modes run the same compute
+    # body and are bit-identical (tests/test_step_fused.py); this is
+    # purely a perf knob (measured in BASELINE.md).
+    step_pipeline: str = "auto"           # "auto" | "manual"
     # Encoder-state precision for beam decode (serving knob).  The
     # attention step is ~89% HBM DMA of the loop-invariant enc/enc_att
     # (tools/exp_attend_parts.py); "int8" stores both quantized with

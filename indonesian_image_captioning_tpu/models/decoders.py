@@ -362,7 +362,7 @@ def _make_fused_beam_step(params, cfg: ModelConfig, enc, tags):
             enc_inputs = (pad_pixels(enc_flat), pad_pixels(enc_att))
             step_kernel = functools.partial(
                 fused_decode_step, num_pixels=P, cell=cell_kind,
-                vocab_size=cfg.vocab_size)
+                vocab_size=cfg.vocab_size, pipeline=cfg.step_pipeline)
     else:
         enc_inputs = ()
         step_kernel = None                  # bound per beam size below

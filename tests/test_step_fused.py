@@ -261,6 +261,25 @@ def test_fused_step_manual_pipeline_bit_exact():
         assert jnp.array_equal(x, y), name
 
 
+def test_step_pipeline_config_reaches_kernel():
+    """ModelConfig.step_pipeline="manual" routes the public decode through
+    the explicit-DMA kernel variant and matches "auto" exactly."""
+    cfg = tiny_cfg(vocab=40, decode_impl="fused_step")
+    params = decoders.init_decoder(jax.random.key(70), cfg)
+    enc = jax.random.normal(
+        jax.random.key(71), (8, cfg.enc_image_size, cfg.enc_image_size,
+                             cfg.encoder_dim)) * 0.3
+    tags = jax.random.uniform(jax.random.key(72), (8, cfg.semantic_dim))
+    kw = dict(start_id=38, end_id=39, beam_cfg=BeamConfig(beam_size=4,
+                                                          max_steps=6))
+    a = caption_beam_search(params, cfg, enc, tags, **kw)
+    m = caption_beam_search(
+        params, dataclasses.replace(cfg, step_pipeline="manual"),
+        enc, tags, **kw)
+    for k in ("sequences", "lengths", "completed_count", "scores"):
+        assert jnp.array_equal(a[k], m[k]), k
+
+
 def test_fused_step_rejects_unknown_model():
     cfg = dataclasses.replace(
         ModelConfig(model_type="pure_scn", vocab_size=50))
