@@ -126,8 +126,20 @@ class ModelConfig:
     #             steps path rounds log-softmax to bf16 — in both cases
     #             near-ties can resolve differently between the two
     #             exact paths (the standard serving-precision contract).
+    #   "fused_span" — S consecutive steps per kernel call (ops/
+    #             span_pallas.py): the step kernel's streamed windows
+    #             plus the megakernel's in-kernel selection, so the
+    #             per-step encoder DMA is divided by S=decode_span while
+    #             chunks stay MXU-sized and the grid pipeline keeps
+    #             overlapping.  attention_scn only; no alpha recording,
+    #             no int8 state; exact vs the engine at f32
+    #             (tests/test_span_fused.py).  Opt-in pending on-chip
+    #             measurement; ineligible shapes fall back to the step
+    #             engine.
     #   "auto"  — "fused_step" on TPU when eligible, else "steps".
     decode_impl: str = "auto"
+    # Steps per span-kernel call for decode_impl="fused_span".
+    decode_span: int = 4
     # Window pipelining inside the fused step kernel (attention models,
     # unquantized state only; ignored elsewhere).  "auto": Mosaic's block
     # pipeline streams the per-chunk enc/enc_att windows.  "manual": those

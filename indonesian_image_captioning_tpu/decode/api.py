@@ -88,6 +88,32 @@ def caption_beam_search(params, cfg: ModelConfig, enc, tags, *,
             records, start_id=start_id, end_id=end_id,
             seq_len=beam_cfg.max_steps + 1,
             length_penalty=beam_cfg.length_penalty)
+    if impl == "fused_span":
+        from ..ops.attention_pallas import _round_up
+        from ..ops.span_pallas import (beam_decode_span_records,
+                                       pick_span_tile)
+        from .replay import replay_beam_records
+        span_dims = dict(
+            Pp=_round_up(enc_flat.shape[1], 16), E=cfg.encoder_dim,
+            A=cfg.attention_dim, D=cfg.decoder_dim, Emb=cfg.embed_dim,
+            F4=4 * cfg.factored_dim, Vp=_round_up(cfg.vocab_size, 128),
+            isz=enc_flat.dtype.itemsize)
+        span_ok = (cfg.model_type == "attention_scn" and not record_alphas
+                   and not quant
+                   and pick_span_tile(
+                       enc_flat.shape[0], beam_cfg.beam_size,
+                       cfg.decode_span, dims=span_dims) is not None)
+        if span_ok:
+            records = beam_decode_span_records(
+                params, cfg, enc_flat, tags, beam_size=beam_cfg.beam_size,
+                start_id=start_id, end_id=end_id,
+                max_steps=beam_cfg.max_steps, span=cfg.decode_span)
+            return replay_beam_records(
+                records, start_id=start_id, end_id=end_id,
+                seq_len=beam_cfg.max_steps + 1,
+                length_penalty=beam_cfg.length_penalty)
+        # ineligible (other families, alphas, int8 state, no legal tile):
+        # fall through to the step engine below
 
     init_state_fn, step_fn = decoders.make_beam_step(params, cfg, enc_flat, tags)
     emit_specs = {}

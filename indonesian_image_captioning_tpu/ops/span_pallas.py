@@ -1,0 +1,457 @@
+"""Fused SPAN decode kernel: S consecutive beam steps per window fetch.
+
+The middle point between the two existing decode kernels:
+
+* ``ops/step_pallas.py`` (the production default) fuses ONE beam step and
+  streams each chunk's enc/enc_att windows from HBM per step — so every
+  decode step pays the full ~1.09 GB (bench dims) encoder-state DMA, and
+  the step can at best reach max(DMA, compute).
+* ``ops/decode_pallas.py`` (the megakernel) runs ALL T steps per chunk with
+  the windows VMEM-resident — near-zero DMA, but measured 4.2x slower: one
+  grid iteration per chunk for the whole decode leaves Mosaic nothing to
+  pipeline, and the in-kernel selection runs at tiny-chunk utilisation.
+
+This kernel runs S consecutive steps (S static, default 4) per chunk while
+STREAMING the windows like the step kernel: per decode step the encoder
+DMA is divided by S, while chunks stay big enough for MXU-friendly row
+blocks and the grid pipeline still overlaps chunk i+1's window DMA with
+chunk i's S-step compute.  If the fused step kernel is DMA-bound (see
+BASELINE.md "Where the decode ceiling actually is"), the span kernel's
+per-step floor is max(DMA/S, compute).
+
+Within a span the next word is only known in-kernel, so the kernel carries
+the beam bookkeeping across its S steps exactly like the megakernel:
+
+* embedding lookup as an exact one-hot MXU contraction against the
+  VMEM-resident table (token ids < 2^24 are exact in f32);
+* per-image flat top-K selection over the K*K sparse candidates with
+  lax.top_k's first-occurrence tie order (argmax+mask rounds);
+* score/alive/prev-word evolution mirroring decode/beam.py
+  ``_apply_selection`` (retired lanes' scores pinned to NEG so dead rows
+  emit only no-op records);
+* the (h, c) parent reorder as a block-diagonal one-hot permutation
+  matmul.
+
+State (h, c, scores, prev words, alive counts) rides in and out of every
+call; the kernel emits per-step selection records and the driver
+(decode/api.py impl="fused_span") replays them through the engine's own
+bookkeeping (decode/replay.py) — identical semantics to the live engine by
+construction, exact at f32 (tests/test_span_fused.py).
+
+Compute-stage math (attention grouping, f32 transcendentals, max-shifted
+head with the -inf mask over padded vocab columns) is copied from the
+step kernel; reference call sites are the same as there
+(models/attention.py:6-44, models/scn_cell.py:52-154,
+models/decoders/attention_scn.py:217-290).  attention_scn only — the
+families without the 2048-wide per-step enc re-read have nothing for a
+span to amortise.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .attention_pallas import _compiler_params, _round_up
+
+NEG = -1e30  # matches decode/beam.py NEG_INF
+
+_VMEM_BUDGET = 112 * 1024 * 1024
+
+
+def _estimate_vmem(G, K, S, *, Pp, E, A, D, Emb, F4, Vp, isz, group=8):
+    """Estimated scoped-VMEM bytes for a (G, group, S) schedule: double-
+    buffered windows and row inputs, constant weight + embedding blocks,
+    state outputs, selection records, the f32 logits/top-k work arrays
+    (+ the one-hot embedding temp), and the attention/selection scratch."""
+    R = G * K
+    m = min(group, G)
+    while G % m:
+        m -= 1
+    win = 2 * G * Pp * (E + A) * isz                 # enc + enc_att windows
+    rows_in = 2 * (R * (2 * D + 2 * F4) * isz + R * 8)   # h/c/semx/semh+sc/pw
+    state_out = 2 * (R * 2 * D * isz + R * 8 + G * 4)
+    records = 2 * 3 * G * S * K * 4
+    weights = (D * A + 2 * A + D * E + E + (Emb + E + D) * F4
+               + 2 * F4 * D + 8 * D + D * Vp + Vp) * isz
+    emb_tab = Vp * Emb * isz
+    logits = 3 * R * Vp * 4 + R * Vp * isz           # lg+work+spill + one-hot
+    scratch = (m * Pp * m * K + R * A + R * E) * isz
+    select = R * (G + R + 2 * K) * 4                 # img_of/perm/lane moves
+    return (win + rows_in + state_out + records + weights + emb_tab
+            + logits + scratch + select)
+
+
+def pick_span_tile(B: int, K: int, S: int, img_tile: int = 32, *,
+                   dims=None):
+    """Largest image tile G <= img_tile with B % G == 0 and (G*K) % 8 == 0
+    whose estimated scoped VMEM fits the chip, or None (callers fall back
+    to the step engine)."""
+    for G in range(min(img_tile, B), 0, -1):
+        if B % G == 0 and (G * K) % 8 == 0:
+            if dims is not None and \
+                    _estimate_vmem(G, K, S, **dims) > _VMEM_BUDGET:
+                continue
+            return G
+    return None
+
+
+def _make_kernel(*, names, G, K, S, Pp, P, E, A, D, Emb, F, H, Vp, V,
+                 m, R, dt, end_id):
+    """Span kernel body.  names: ordered ref names matching the
+    pallas_call layout in :func:`fused_decode_span`."""
+
+    def dot(a, b):
+        return jax.lax.dot_general(a, b, (((1,), (0,)), ((), ())),
+                                   preferred_element_type=jnp.float32)
+
+    def sig(x):  # f32 transcendentals: Mosaic bf16 logistic bug workaround
+        return jax.nn.sigmoid(x.astype(jnp.float32)).astype(dt)
+
+    def tnh(x):
+        return jnp.tanh(x.astype(jnp.float32)).astype(dt)
+
+    def kernel(*refs):
+        r = dict(zip(names, refs))
+        h = r["h_in"][:]
+        c = r["c_in"][:]
+        sc = r["sc_in"][:]                                 # (R, 1) f32
+        pw = r["pw_in"][:]                                 # (R, 1) i32
+        alive = r["alive_in"][:]                           # (G, 1) i32
+        wf = r["wf"][:].astype(dt)
+        bd_scr, dec_scr, awe_scr = r["bd"], r["dec"], r["awe"]
+
+        rows_r = jax.lax.broadcasted_iota(jnp.int32, (R, 1), 0)
+        cols_v = jax.lax.broadcasted_iota(jnp.int32, (R, Vp), 1)
+        lane = jax.lax.broadcasted_iota(jnp.int32, (G, K), 1)
+        kk = jax.lax.broadcasted_iota(jnp.int32, (G, K * K), 1)
+        # Layout-move one-hots (ops/decode_pallas.py module docstring):
+        img_of = (jax.lax.broadcasted_iota(jnp.int32, (R, G), 1)
+                  == rows_r // K).astype(jnp.float32)
+        lane_of = (jax.lax.broadcasted_iota(jnp.int32, (R, K), 1)
+                   == rows_r % K).astype(jnp.float32)
+        colsR_g = jax.lax.broadcasted_iota(jnp.int32, (G, R), 1)
+        rowsG = jax.lax.broadcasted_iota(jnp.int32, (G, 1), 0)
+        sel = [(colsR_g == rowsG * K + k).astype(jnp.float32)
+               for k in range(K)]
+        colsR = jax.lax.broadcasted_iota(jnp.int32, (R, R), 1)
+
+        def gk_to_rows(M):
+            """(G, K) f32 -> (R, 1): value of the row's (image, lane)."""
+            per_row = dot(img_of, M)                       # (R, K)
+            return jnp.sum(per_row * lane_of, axis=1, keepdims=True)
+
+        def rows_to_gkk(M):
+            """(R, k) f32 -> (G, K*k): lane-major flatten per image."""
+            return jnp.concatenate([dot(s, M) for s in sel], axis=1)
+
+        for s in range(S):
+            # ---- embedding lookup (one-hot MXU contraction) ----
+            oh = (cols_v == pw).astype(dt)
+            emb = dot(oh, r["emb_tab"][:]).astype(dt)      # (R, Emb)
+
+            # ---- attention (step-kernel schedule) ----
+            dec_scr[:] = (dot(h, r["wda"][:]).astype(dt)
+                          + r["bda"][:].astype(dt))        # (R, A)
+            for base in range(0, G, m):
+                bd_scr[:] = jnp.zeros_like(bd_scr)
+                for j in range(m):
+                    g = base + j
+                    ea = r["ea"][g]                        # (Pp, A)
+                    dk = dec_scr[g * K:(g + 1) * K, :]
+                    cols = []
+                    for k in range(K):
+                        e = jnp.maximum(ea + dk[k:k + 1, :], 0)
+                        cols.append(jnp.sum(e * wf, axis=1, keepdims=True))
+                    att = jnp.concatenate(cols, axis=1).astype(jnp.float32)
+                    if P < Pp:
+                        prow = jax.lax.broadcasted_iota(jnp.int32, (Pp, K), 0)
+                        att = jnp.where(prow < P, att, float("-inf"))
+                    mx = jnp.max(att, axis=0, keepdims=True)
+                    ex = jnp.exp(att - mx)
+                    ssum = jnp.sum(ex, axis=0, keepdims=True)
+                    alpha = ex / ssum                      # (Pp, K) f32
+                    bd_scr[j * Pp:(j + 1) * Pp, j * K:(j + 1) * K] = \
+                        alpha.astype(bd_scr.dtype)
+                enc_grp = r["enc"][pl.ds(base, m)].reshape(m * Pp, E)
+                awe_scr[base * K:(base + m) * K, :] = jax.lax.dot_general(
+                    bd_scr[:], enc_grp, (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32).astype(dt)
+            gate = sig(dot(h, r["wfb"][:]).astype(dt)
+                       + r["bfb"][:].astype(dt))
+            awe = gate * awe_scr[:]                        # (R, E)
+
+            # ---- SCN recurrence (models/scn_cell.scn_step) ----
+            xfac = (dot(emb, r["wxe"][:]).astype(dt)
+                    + dot(awe, r["wxa"][:]).astype(dt)) * r["semx"][:]
+            hfac = dot(h, r["wh"][:]).astype(dt) * r["semh"][:]
+            pre = []
+            for g4 in range(4):
+                sl = slice(g4 * F, (g4 + 1) * F)
+                slh = slice(g4 * H, (g4 + 1) * H)
+                xg = dot(xfac[:, sl], r["wxp"][sl, :]) \
+                    + r["bx"][:, slh].astype(jnp.float32)
+                hg = dot(hfac[:, sl], r["whp"][sl, :]) \
+                    + r["bh"][:, slh].astype(jnp.float32)
+                pre.append((xg + hg).astype(dt))           # (R, H)
+            i_g = sig(pre[0])
+            f_g = sig(pre[1])
+            o_g = sig(pre[2])
+            c_t = tnh(pre[3])
+            c_new = f_g * c + i_g * c_t
+            h_new = o_g * tnh(c_new)
+
+            # ---- vocab head + per-lane top-K (f32 logprobs) ----
+            logits = (dot(h_new, r["fcw"][:]).astype(dt)
+                      + r["fcb"][:].astype(dt))            # (R, Vp)
+            lg = logits.astype(jnp.float32)
+            if V < Vp:
+                lg = jnp.where(cols_v < V, lg, float("-inf"))
+            mrow = jnp.max(lg, axis=1, keepdims=True)
+            shifted = lg - mrow
+            logs = jnp.log(jnp.sum(jnp.exp(shifted), axis=1, keepdims=True))
+            work = shifted
+            tvs, tis = [], []
+            for _ in range(K):
+                v = jnp.max(work, axis=1, keepdims=True)
+                a = jnp.argmax(work, axis=1)[:, None]      # first occurrence
+                tvs.append(v)
+                tis.append(a)
+                work = jnp.where(cols_v == a, NEG, work)
+            topv = jnp.concatenate(tvs, axis=1) - logs     # (R, K) logprobs
+            topi = jnp.concatenate(tis, axis=1)            # (R, K) i32
+
+            # ---- flat merge over K*K candidates per image (engine
+            # candidate math: beam.py sparse-head branch) ----
+            cand = jnp.maximum(sc + topv, NEG)
+            cand = jnp.where(sc <= NEG, NEG, cand)
+            cand_g = rows_to_gkk(cand)                     # (G, K*K)
+            ids_g = rows_to_gkk(topi.astype(jnp.float32))
+            workg = cand_g
+            svs, sis, sws = [], [], []
+            for _ in range(K):
+                v = jnp.max(workg, axis=1, keepdims=True)
+                a = jnp.argmax(workg, axis=1)[:, None]
+                w = jnp.sum(jnp.where(kk == a, ids_g, 0.0), axis=1,
+                            keepdims=True)
+                svs.append(v)
+                sis.append(a)
+                sws.append(w)
+                workg = jnp.where(kk == a, NEG, workg)
+            top_vals = jnp.concatenate(svs, axis=1)        # (G, K) f32
+            flat_idx = jnp.concatenate(sis, axis=1)        # (G, K) i32
+            next_word = jnp.concatenate(sws, axis=1).astype(jnp.int32)
+            prev_lane = flat_idx // K
+
+            # ---- records (replay rebuilds sequences/pools from these) ----
+            r["words"][:, s:s + 1, :] = next_word[:, None, :]
+            r["parents"][:, s:s + 1, :] = prev_lane[:, None, :]
+            r["vals"][:, s:s + 1, :] = top_vals[:, None, :]
+
+            # ---- bookkeeping (mirrors beam._apply_selection; dead images
+            # need no masking: their lanes' scores are already NEG, so
+            # their candidates stay NEG and replay treats them as no-ops,
+            # while `lane < alive` keeps retired lanes of LIVE images from
+            # being counted again) ----
+            valid = (lane < alive) & (top_vals > NEG)
+            is_end = valid & (next_word == end_id)
+            cont = valid & ~is_end
+            alive = alive - jnp.sum(is_end.astype(jnp.int32), axis=1,
+                                    keepdims=True)
+            sc = gk_to_rows(jnp.where(cont, top_vals, NEG))
+            pw = gk_to_rows(next_word.astype(jnp.float32)).astype(jnp.int32)
+
+            # ---- (h, c) parent reorder: block-diag one-hot permutation ----
+            pl_r = gk_to_rows(prev_lane.astype(jnp.float32)).astype(jnp.int32)
+            tgt = (rows_r // K) * K + pl_r
+            perm = (colsR == tgt).astype(dt)
+            h = dot(perm, h_new).astype(dt)
+            c = dot(perm, c_new).astype(dt)
+
+        r["h_out"][:] = h
+        r["c_out"][:] = c
+        r["sc_out"][:] = sc
+        r["pw_out"][:] = pw
+        r["alive_out"][:] = alive
+
+    return kernel
+
+
+@functools.partial(
+    jax.jit, static_argnames=("span", "num_pixels", "end_id", "img_tile",
+                              "group", "interpret", "vocab_size"))
+def fused_decode_span(weights, emb_tab, enc_p, enc_att_p, semx, semh,
+                      h, c, sc, pw, alive, *, span: int, num_pixels: int,
+                      end_id: int, img_tile: int = 32, group: int = 8,
+                      interpret=None, vocab_size=None):
+    """Run ``span`` consecutive beam steps over (B, K) lanes.
+
+    weights: dict from ops/step_pallas.pack_step_weights (attention_scn);
+    emb_tab: (Vp, Emb) vocab-padded embedding table.
+    enc_p/enc_att_p: (B, Pp, E|A) pre-padded loop invariants.
+    h/c: (B*K, D); sc: (B*K, 1) f32 cumulative scores (NEG on dead lanes);
+    pw: (B*K, 1) i32 previous words; alive: (B, 1) i32 live-lane counts.
+    Returns (words, parents (B, span, K) i32, vals (B, span, K) f32,
+    h', c', sc', pw', alive').
+    """
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    B, Pp, E = enc_p.shape
+    A = enc_att_p.shape[-1]
+    R_total, D = h.shape
+    K = R_total // B
+    Emb = emb_tab.shape[-1]
+    F4 = semx.shape[-1]
+    F = F4 // 4
+    H = D
+    Vp = weights["fcw"].shape[-1]
+    V = vocab_size if vocab_size is not None else Vp
+    dt = h.dtype
+    S = span
+
+    G = pick_span_tile(B, K, S, img_tile, dims=dict(
+        Pp=Pp, E=E, A=A, D=D, Emb=Emb, F4=F4, Vp=Vp,
+        isz=jnp.dtype(dt).itemsize, group=group))
+    if G is None:
+        raise ValueError(f"no VMEM-feasible span tile G divides B={B} "
+                         f"with G*{K}%8==0")
+    m = min(group, G)
+    while G % m:
+        m -= 1
+    R = G * K
+
+    const = lambda *shape: pl.BlockSpec(
+        shape, lambda b: (0,) * len(shape), memory_space=pltpu.VMEM)
+    chunk3 = lambda d1, d2: pl.BlockSpec(
+        (G, d1, d2), lambda b: (b, 0, 0), memory_space=pltpu.VMEM)
+    rows2 = lambda d: pl.BlockSpec(
+        (R, d), lambda b: (b, 0), memory_space=pltpu.VMEM)
+    imgs2 = pl.BlockSpec((G, 1), lambda b: (b, 0), memory_space=pltpu.VMEM)
+    rec3 = pl.BlockSpec((G, S, K), lambda b: (b, 0, 0),
+                        memory_space=pltpu.VMEM)
+
+    in_names = ["enc", "ea", "semx", "semh", "h_in", "c_in", "sc_in",
+                "pw_in", "alive_in", "emb_tab"]
+    in_specs = [chunk3(Pp, E), chunk3(Pp, A), rows2(F4), rows2(F4),
+                rows2(D), rows2(D), rows2(1), rows2(1), imgs2,
+                const(*emb_tab.shape)]
+    inputs = [enc_p, enc_att_p, semx, semh, h, c, sc, pw, alive, emb_tab]
+    wnames = ["wda", "bda", "wf", "wfb", "bfb", "wxe", "wxa", "wh",
+              "wxp", "whp", "bx", "bh", "fcw", "fcb"]
+    for nm in wnames:
+        arr = weights[nm]
+        in_names.append(nm)
+        in_specs.append(const(*arr.shape))
+        inputs.append(arr)
+
+    out_names = ["words", "parents", "vals", "h_out", "c_out", "sc_out",
+                 "pw_out", "alive_out"]
+    scratch_names = ["bd", "dec", "awe"]
+    kernel = _make_kernel(
+        names=tuple(in_names + out_names + scratch_names),
+        G=G, K=K, S=S, Pp=Pp, P=num_pixels, E=E, A=A, D=D, Emb=Emb,
+        F=F, H=H, Vp=Vp, V=V, m=m, R=R, dt=dt, end_id=end_id)
+
+    outs = pl.pallas_call(
+        kernel,
+        grid=(B // G,),
+        in_specs=in_specs,
+        out_specs=(rec3, rec3, rec3, rows2(D), rows2(D), rows2(1),
+                   rows2(1), imgs2),
+        out_shape=(
+            jax.ShapeDtypeStruct((B, S, K), jnp.int32),
+            jax.ShapeDtypeStruct((B, S, K), jnp.int32),
+            jax.ShapeDtypeStruct((B, S, K), jnp.float32),
+            jax.ShapeDtypeStruct((R_total, D), dt),
+            jax.ShapeDtypeStruct((R_total, D), dt),
+            jax.ShapeDtypeStruct((R_total, 1), jnp.float32),
+            jax.ShapeDtypeStruct((R_total, 1), jnp.int32),
+            jax.ShapeDtypeStruct((B, 1), jnp.int32),
+        ),
+        scratch_shapes=[pltpu.VMEM((m * Pp, m * K), dt),
+                        pltpu.VMEM((R, A), dt), pltpu.VMEM((R, E), dt)],
+        interpret=interpret,
+        compiler_params=None if interpret else _compiler_params(),
+    )(*inputs)
+    return outs
+
+
+@functools.partial(
+    jax.jit, static_argnames=("cfg", "beam_size", "start_id", "end_id",
+                              "max_steps", "span", "img_tile", "group",
+                              "interpret"))
+def beam_decode_span_records(params, cfg, enc_flat, tags, *,
+                             beam_size: int, start_id: int, end_id: int,
+                             max_steps: int = 51, span: int = 4,
+                             img_tile: int = 32, group: int = 8,
+                             interpret=None):
+    """Drive the span kernel over ceil(T/span) calls with early exit.
+
+    Returns {"words"/"parents": (B, T, K) i32, "vals": (B, T, K) f32} for
+    decode/replay.py — records beyond the early-exit point are inert
+    (vals=NEG) and replay treats them as no-ops.
+    """
+    from ..models import attention as attn
+    from ..models import decoders, scn_cell
+    from .attention_pallas import pad_pixels
+    from .step_pallas import pack_step_weights
+
+    if cfg.model_type != "attention_scn":
+        raise NotImplementedError("fused_span supports attention_scn")
+
+    K, T, S = beam_size, max_steps, span
+    B, P, E = enc_flat.shape
+    F4 = 4 * cfg.factored_dim
+    V, Vp = cfg.vocab_size, _round_up(cfg.vocab_size, 128)
+    dt = enc_flat.dtype
+    n_spans = -(-T // S)
+
+    enc_p = pad_pixels(enc_flat)
+    ea_p = pad_pixels(attn.precompute(params["attention"], enc_flat))
+    weights = pack_step_weights(params, cfg, dt)
+    emb_tab = jnp.pad(params["embedding"].astype(dt),
+                      ((0, Vp - V), (0, 0)))
+    sx, sh = scn_cell.semantic_projections(params["decode_step"], tags)
+    tile_k = lambda x: jnp.repeat(x, K, axis=0)
+    semx = tile_k(sx.reshape(B, F4)).astype(dt)
+    semh = tile_k(sh.reshape(B, F4)).astype(dt)
+    h0, c0 = decoders.init_hidden_state(params, enc_flat)
+    R = B * K
+
+    # beam.init_carry state: lane 0 holds <start>, other lanes dead
+    rows_r = jnp.arange(R)[:, None]
+    carry = dict(
+        i=jnp.asarray(0, jnp.int32),
+        h=tile_k(h0).astype(dt), c=tile_k(c0).astype(dt),
+        sc=jnp.where(rows_r % K == 0, 0.0, NEG).astype(jnp.float32),
+        pw=jnp.full((R, 1), start_id, jnp.int32),
+        alive=jnp.full((B, 1), K, jnp.int32),
+        words=jnp.zeros((B, n_spans * S, K), jnp.int32),
+        parents=jnp.zeros((B, n_spans * S, K), jnp.int32),
+        vals=jnp.full((B, n_spans * S, K), NEG, jnp.float32),
+    )
+
+    def cond(c):
+        return jnp.logical_and(c["i"] < n_spans, jnp.any(c["alive"] > 0))
+
+    def body(c):
+        w, p, v, h, cc, sc, pw, alive = fused_decode_span(
+            weights, emb_tab, enc_p, ea_p, semx, semh,
+            c["h"], c["c"], c["sc"], c["pw"], c["alive"],
+            span=S, num_pixels=P, end_id=end_id, img_tile=img_tile,
+            group=group, interpret=interpret, vocab_size=V)
+        at = (jnp.zeros((), jnp.int32), c["i"] * S, jnp.zeros((), jnp.int32))
+        return dict(
+            i=c["i"] + 1, h=h, c=cc, sc=sc, pw=pw, alive=alive,
+            words=jax.lax.dynamic_update_slice(c["words"], w, at),
+            parents=jax.lax.dynamic_update_slice(c["parents"], p, at),
+            vals=jax.lax.dynamic_update_slice(c["vals"], v, at),
+        )
+
+    out = jax.lax.while_loop(cond, body, carry)
+    return {"words": out["words"][:, :T], "parents": out["parents"][:, :T],
+            "vals": out["vals"][:, :T]}

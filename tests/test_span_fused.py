@@ -1,0 +1,175 @@
+"""Fused span kernel (ops/span_pallas.py) vs the step-loop engine.
+
+decode_impl="fused_span" runs S consecutive beam steps per kernel call
+(streamed windows + in-kernel selection) and replays the records through
+the engine's bookkeeping.  At f32 it must reproduce the XLA beam engine
+exactly (same sequences / lengths / pools; scores to reduction-order
+tolerance).  Runs in interpret mode on CPU; the TPU compiled path is
+exercised by tools/profile_span.py and the verify skill.
+"""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import pytest
+
+from indonesian_image_captioning_tpu.core.config import BeamConfig, ModelConfig
+from indonesian_image_captioning_tpu.decode.api import caption_beam_search
+from indonesian_image_captioning_tpu.decode.replay import replay_beam_records
+from indonesian_image_captioning_tpu.models import decoders
+from indonesian_image_captioning_tpu.ops.span_pallas import (
+    beam_decode_span_records, pick_span_tile)
+
+
+def tiny_cfg(vocab=50, model_type="attention_scn", **kw):
+    return ModelConfig(model_type=model_type, vocab_size=vocab,
+                       embed_dim=10, attention_dim=8, decoder_dim=12,
+                       factored_dim=8, semantic_dim=11, encoder_dim=16,
+                       enc_image_size=3, **kw)
+
+
+def run_both(cfg, params, enc, tags, K, T, span, img_tile=8, group=4):
+    V = cfg.vocab_size
+    ref = caption_beam_search(params, cfg, enc, tags, start_id=V - 2,
+                              end_id=V - 1,
+                              beam_cfg=BeamConfig(beam_size=K, max_steps=T))
+    rec = beam_decode_span_records(
+        params, cfg, enc, tags, beam_size=K, start_id=V - 2, end_id=V - 1,
+        max_steps=T, span=span, img_tile=img_tile, group=group,
+        interpret=True)
+    out = replay_beam_records(rec, start_id=V - 2, end_id=V - 1,
+                              seq_len=T + 1)
+    return ref, out
+
+
+def assert_match(ref, out, score_tol=1e-5):
+    assert (ref["sequences"] == out["sequences"]).all()
+    assert (ref["lengths"] == out["lengths"]).all()
+    assert (ref["completed_count"] == out["completed_count"]).all()
+    assert jnp.allclose(ref["scores"], out["scores"], atol=score_tol)
+    assert (ref["completed_lengths"] == out["completed_lengths"]).all()
+
+
+def test_pick_span_tile():
+    assert pick_span_tile(1024, 5, 4) == 32
+    assert pick_span_tile(16, 5, 4) == 16
+    assert pick_span_tile(12, 5, 4) is None       # no G with (G*5) % 8 == 0
+    assert pick_span_tile(3, 5, 4) is None
+
+
+def test_span_matches_engine_no_completions():
+    cfg = tiny_cfg()
+    params = decoders.init_decoder(jax.random.key(0), cfg)
+    enc = jax.random.normal(jax.random.key(1), (8, 9, 16)) * 0.3
+    tags = jax.random.uniform(jax.random.key(2), (8, 11))
+    ref, out = run_both(cfg, params, enc, tags, K=3, T=8, span=4)
+    assert_match(ref, out)
+    assert int(ref["lengths"][0]) == 9            # ran the full window
+
+
+def test_span_matches_engine_with_retirement():
+    """<end> bias retires beams at differing steps: completion pools,
+    alive shrinkage and (in-kernel) score pinning all exercised."""
+    cfg = tiny_cfg()
+    params = decoders.init_decoder(jax.random.key(3), cfg)
+    V = cfg.vocab_size
+    params["fc"]["b"] = params["fc"]["b"].at[V - 1].set(1.5)
+    enc = jax.random.normal(jax.random.key(4), (8, 9, 16)) * 0.5
+    tags = jax.random.uniform(jax.random.key(5), (8, 11))
+    ref, out = run_both(cfg, params, enc, tags, K=3, T=10, span=4)
+    assert int(ref["completed_count"].sum()) > 0
+    assert_match(ref, out)
+
+
+def test_span_matches_engine_all_end_early():
+    """Strong <end> bias: rows finish before the cap — the driver's
+    early-exit while_loop leaves trailing record slots inert."""
+    cfg = tiny_cfg()
+    params = decoders.init_decoder(jax.random.key(6), cfg)
+    V = cfg.vocab_size
+    params["fc"]["b"] = params["fc"]["b"].at[V - 1].set(6.0)
+    enc = jax.random.normal(jax.random.key(7), (8, 9, 16)) * 0.3
+    tags = jax.random.uniform(jax.random.key(8), (8, 11))
+    ref, out = run_both(cfg, params, enc, tags, K=3, T=12, span=4)
+    assert int(ref["completed_count"].min()) == 3
+    assert_match(ref, out)
+
+
+def test_span_not_dividing_T():
+    """T % span != 0: the final call overshoots and the records are
+    sliced back to T before replay."""
+    cfg = tiny_cfg()
+    params = decoders.init_decoder(jax.random.key(9), cfg)
+    enc = jax.random.normal(jax.random.key(10), (8, 9, 16)) * 0.4
+    tags = jax.random.uniform(jax.random.key(11), (8, 11))
+    ref, out = run_both(cfg, params, enc, tags, K=3, T=7, span=3)
+    assert_match(ref, out)
+
+
+def test_span_one_equals_longer_spans():
+    """span=1 (degenerate) and span=5 agree with the engine and each
+    other on the same inputs."""
+    cfg = tiny_cfg(vocab=64)
+    params = decoders.init_decoder(jax.random.key(12), cfg)
+    V = cfg.vocab_size
+    params["fc"]["b"] = params["fc"]["b"].at[V - 1].set(1.0)
+    enc = jax.random.normal(jax.random.key(13), (8, 9, 16)) * 0.4
+    tags = jax.random.uniform(jax.random.key(14), (8, 11))
+    ref, out1 = run_both(cfg, params, enc, tags, K=5, T=9, span=1)
+    _, out5 = run_both(cfg, params, enc, tags, K=5, T=9, span=5)
+    assert_match(ref, out1)
+    assert_match(ref, out5)
+
+
+def test_span_beam5_multi_chunk():
+    """K=5, two chunks (G=8 over B=16), group m=4."""
+    cfg = tiny_cfg(vocab=64)
+    params = decoders.init_decoder(jax.random.key(15), cfg)
+    V = cfg.vocab_size
+    params["fc"]["b"] = params["fc"]["b"].at[V - 1].set(1.0)
+    enc = jax.random.normal(jax.random.key(16), (16, 9, 16)) * 0.4
+    tags = jax.random.uniform(jax.random.key(17), (16, 11))
+    ref, out = run_both(cfg, params, enc, tags, K=5, T=9, span=4,
+                        img_tile=8, group=4)
+    assert_match(ref, out)
+
+
+def test_span_through_public_api():
+    """decode_impl="fused_span" routes caption_beam_search through the
+    span kernel and matches the step engine; ineligible models fall back
+    silently."""
+    cfg = tiny_cfg(vocab=40, decode_impl="fused_span", decode_span=3)
+    params = decoders.init_decoder(jax.random.key(18), cfg)
+    enc = jax.random.normal(
+        jax.random.key(19), (8, cfg.enc_image_size, cfg.enc_image_size,
+                             cfg.encoder_dim)) * 0.3
+    tags = jax.random.uniform(jax.random.key(20), (8, cfg.semantic_dim))
+    kw = dict(start_id=38, end_id=39,
+              beam_cfg=BeamConfig(beam_size=4, max_steps=8))
+    out = caption_beam_search(params, cfg, enc, tags, **kw)
+    ref = caption_beam_search(
+        params, dataclasses.replace(cfg, decode_impl="steps"),
+        enc, tags, **kw)
+    assert_match(ref, out)
+
+    # pure_scn has no attention stage: fused_span falls back to steps
+    cfg2 = tiny_cfg(vocab=40, decode_impl="fused_span",
+                    model_type="pure_scn")
+    params2 = decoders.init_decoder(jax.random.key(21), cfg2)
+    out2 = caption_beam_search(params2, cfg2, enc, tags, **kw)
+    ref2 = caption_beam_search(
+        params2, dataclasses.replace(cfg2, decode_impl="steps"),
+        enc, tags, **kw)
+    assert_match(ref2, out2)
+
+
+def test_span_rejects_unsupported_model():
+    cfg = ModelConfig(model_type="pure_attention", vocab_size=50)
+    params = decoders.init_decoder(jax.random.key(22), cfg)
+    enc = jnp.zeros((8, 9, cfg.encoder_dim))
+    tags = jnp.zeros((8, cfg.semantic_dim))
+    with pytest.raises(NotImplementedError):
+        beam_decode_span_records(params, cfg, enc, tags, beam_size=5,
+                                 start_id=1, end_id=2, span=4,
+                                 interpret=True)
