@@ -131,8 +131,8 @@ class ModelConfig:
     #             plus the megakernel's in-kernel selection, so the
     #             per-step encoder DMA is divided by S=decode_span while
     #             chunks stay MXU-sized and the grid pipeline keeps
-    #             overlapping.  attention_scn only; no alpha recording,
-    #             no int8 state; exact vs the engine at f32
+    #             overlapping.  attention_scn + pure_attention; no alpha
+    #             recording, no int8 state; exact vs the engine at f32
     #             (tests/test_span_fused.py).  Opt-in pending on-chip
     #             measurement; ineligible shapes fall back to the step
     #             engine.

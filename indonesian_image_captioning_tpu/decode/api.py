@@ -98,8 +98,8 @@ def caption_beam_search(params, cfg: ModelConfig, enc, tags, *,
             A=cfg.attention_dim, D=cfg.decoder_dim, Emb=cfg.embed_dim,
             F4=4 * cfg.factored_dim, Vp=_round_up(cfg.vocab_size, 128),
             isz=enc_flat.dtype.itemsize)
-        span_ok = (cfg.model_type == "attention_scn" and not record_alphas
-                   and not quant
+        span_ok = (cfg.model_type in ("attention_scn", "pure_attention")
+                   and not record_alphas and not quant
                    and pick_span_tile(
                        enc_flat.shape[0], beam_cfg.beam_size,
                        cfg.decode_span, dims=span_dims) is not None)

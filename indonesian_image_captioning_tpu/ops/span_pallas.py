@@ -39,12 +39,13 @@ bookkeeping (decode/replay.py) — identical semantics to the live engine by
 construction, exact at f32 (tests/test_span_fused.py).
 
 Compute-stage math (attention grouping, f32 transcendentals, max-shifted
-head with the -inf mask over padded vocab columns) is copied from the
-step kernel; reference call sites are the same as there
-(models/attention.py:6-44, models/scn_cell.py:52-154,
-models/decoders/attention_scn.py:217-290).  attention_scn only — the
-families without the 2048-wide per-step enc re-read have nothing for a
-span to amortise.
+head with the -inf mask over padded vocab columns, both cell families)
+is copied from the step kernel; reference call sites are the same as
+there (models/attention.py:6-44, models/scn_cell.py:52-154,
+models/decoders/attention_scn.py:217-290, pure_attention.py:228-266).
+attention_scn (SCN cell) and pure_attention (torch-order LSTM) — pure_scn
+has no per-step enc re-read for a span to amortise and keeps the fused
+step kernel.
 """
 
 from __future__ import annotations
@@ -101,9 +102,11 @@ def pick_span_tile(B: int, K: int, S: int, img_tile: int = 32, *,
 
 
 def _make_kernel(*, names, G, K, S, Pp, P, E, A, D, Emb, F, H, Vp, V,
-                 m, R, dt, end_id):
+                 m, R, dt, end_id, cell="scn"):
     """Span kernel body.  names: ordered ref names matching the
-    pallas_call layout in :func:`fused_decode_span`."""
+    pallas_call layout in :func:`fused_decode_span`.
+    cell: "scn" (factored semantic gates, order i,f,o,c — scn_cell.py) or
+    "lstm" (torch nn.LSTMCell, order i,f,g,o — lstm_cell.py)."""
 
     def dot(a, b):
         return jax.lax.dot_general(a, b, (((1,), (0,)), ((), ())),
@@ -185,23 +188,39 @@ def _make_kernel(*, names, G, K, S, Pp, P, E, A, D, Emb, F, H, Vp, V,
                        + r["bfb"][:].astype(dt))
             awe = gate * awe_scr[:]                        # (R, E)
 
-            # ---- SCN recurrence (models/scn_cell.scn_step) ----
-            xfac = (dot(emb, r["wxe"][:]).astype(dt)
-                    + dot(awe, r["wxa"][:]).astype(dt)) * r["semx"][:]
-            hfac = dot(h, r["wh"][:]).astype(dt) * r["semh"][:]
-            pre = []
-            for g4 in range(4):
-                sl = slice(g4 * F, (g4 + 1) * F)
-                slh = slice(g4 * H, (g4 + 1) * H)
-                xg = dot(xfac[:, sl], r["wxp"][sl, :]) \
-                    + r["bx"][:, slh].astype(jnp.float32)
-                hg = dot(hfac[:, sl], r["whp"][sl, :]) \
-                    + r["bh"][:, slh].astype(jnp.float32)
-                pre.append((xg + hg).astype(dt))           # (R, H)
-            i_g = sig(pre[0])
-            f_g = sig(pre[1])
-            o_g = sig(pre[2])
-            c_t = tnh(pre[3])
+            if cell == "scn":
+                # ---- SCN recurrence (models/scn_cell.scn_step) ----
+                xfac = (dot(emb, r["wxe"][:]).astype(dt)
+                        + dot(awe, r["wxa"][:]).astype(dt)) * r["semx"][:]
+                hfac = dot(h, r["wh"][:]).astype(dt) * r["semh"][:]
+                pre = []
+                for g4 in range(4):
+                    sl = slice(g4 * F, (g4 + 1) * F)
+                    slh = slice(g4 * H, (g4 + 1) * H)
+                    xg = dot(xfac[:, sl], r["wxp"][sl, :]) \
+                        + r["bx"][:, slh].astype(jnp.float32)
+                    hg = dot(hfac[:, sl], r["whp"][sl, :]) \
+                        + r["bh"][:, slh].astype(jnp.float32)
+                    pre.append((xg + hg).astype(dt))       # (R, H)
+                i_g = sig(pre[0])
+                f_g = sig(pre[1])
+                o_g = sig(pre[2])
+                c_t = tnh(pre[3])
+            else:
+                # ---- LSTM recurrence (models/lstm_cell.lstm_step, torch
+                # gate order i, f, g, o; same concat-matmul association
+                # as the step kernel so f32 is bit-exact with it) ----
+                xcat = jnp.concatenate([emb, awe], axis=1)
+                pre_f = (dot(xcat, r["wih"][:])
+                         + r["bx"][:].astype(jnp.float32)
+                         + dot(h, r["wh"][:])
+                         + r["bh"][:].astype(jnp.float32))  # (R, 4H) f32
+                pre = [pre_f[:, g4 * H:(g4 + 1) * H].astype(dt)
+                       for g4 in range(4)]
+                i_g = sig(pre[0])
+                f_g = sig(pre[1])
+                c_t = tnh(pre[2])
+                o_g = sig(pre[3])
             c_new = f_g * c + i_g * c_t
             h_new = o_g * tnh(c_new)
 
@@ -283,14 +302,15 @@ def _make_kernel(*, names, G, K, S, Pp, P, E, A, D, Emb, F, H, Vp, V,
 
 @functools.partial(
     jax.jit, static_argnames=("span", "num_pixels", "end_id", "img_tile",
-                              "group", "interpret", "vocab_size"))
+                              "group", "interpret", "vocab_size", "cell"))
 def fused_decode_span(weights, emb_tab, enc_p, enc_att_p, semx, semh,
                       h, c, sc, pw, alive, *, span: int, num_pixels: int,
                       end_id: int, img_tile: int = 32, group: int = 8,
-                      interpret=None, vocab_size=None):
+                      interpret=None, vocab_size=None, cell: str = "scn"):
     """Run ``span`` consecutive beam steps over (B, K) lanes.
 
-    weights: dict from ops/step_pallas.pack_step_weights (attention_scn);
+    weights: dict from ops/step_pallas.pack_step_weights (attention_scn
+    with cell="scn", pure_attention with cell="lstm" — semx/semh None);
     emb_tab: (Vp, Emb) vocab-padded embedding table.
     enc_p/enc_att_p: (B, Pp, E|A) pre-padded loop invariants.
     h/c: (B*K, D); sc: (B*K, 1) f32 cumulative scores (NEG on dead lanes);
@@ -305,7 +325,7 @@ def fused_decode_span(weights, emb_tab, enc_p, enc_att_p, semx, semh,
     R_total, D = h.shape
     K = R_total // B
     Emb = emb_tab.shape[-1]
-    F4 = semx.shape[-1]
+    F4 = semx.shape[-1] if semx is not None else 4 * D
     F = F4 // 4
     H = D
     Vp = weights["fcw"].shape[-1]
@@ -334,15 +354,20 @@ def fused_decode_span(weights, emb_tab, enc_p, enc_att_p, semx, semh,
     rec3 = pl.BlockSpec((G, S, K), lambda b: (b, 0, 0),
                         memory_space=pltpu.VMEM)
 
-    in_names = ["enc", "ea", "semx", "semh", "h_in", "c_in", "sc_in",
-                "pw_in", "alive_in", "emb_tab"]
-    in_specs = [chunk3(Pp, E), chunk3(Pp, A), rows2(F4), rows2(F4),
-                rows2(D), rows2(D), rows2(1), rows2(1), imgs2,
-                const(*emb_tab.shape)]
-    inputs = [enc_p, enc_att_p, semx, semh, h, c, sc, pw, alive, emb_tab]
-    wnames = ["wda", "bda", "wf", "wfb", "bfb", "wxe", "wxa", "wh",
-              "wxp", "whp", "bx", "bh", "fcw", "fcb"]
-    for nm in wnames:
+    from .step_pallas import _weight_names
+
+    in_names = ["enc", "ea"]
+    in_specs = [chunk3(Pp, E), chunk3(Pp, A)]
+    inputs = [enc_p, enc_att_p]
+    if cell == "scn":
+        in_names += ["semx", "semh"]
+        in_specs += [rows2(F4), rows2(F4)]
+        inputs += [semx, semh]
+    in_names += ["h_in", "c_in", "sc_in", "pw_in", "alive_in", "emb_tab"]
+    in_specs += [rows2(D), rows2(D), rows2(1), rows2(1), imgs2,
+                 const(*emb_tab.shape)]
+    inputs += [h, c, sc, pw, alive, emb_tab]
+    for nm in _weight_names(cell=cell, attention=True):
         arr = weights[nm]
         in_names.append(nm)
         in_specs.append(const(*arr.shape))
@@ -354,7 +379,7 @@ def fused_decode_span(weights, emb_tab, enc_p, enc_att_p, semx, semh,
     kernel = _make_kernel(
         names=tuple(in_names + out_names + scratch_names),
         G=G, K=K, S=S, Pp=Pp, P=num_pixels, E=E, A=A, D=D, Emb=Emb,
-        F=F, H=H, Vp=Vp, V=V, m=m, R=R, dt=dt, end_id=end_id)
+        F=F, H=H, Vp=Vp, V=V, m=m, R=R, dt=dt, end_id=end_id, cell=cell)
 
     outs = pl.pallas_call(
         kernel,
@@ -400,8 +425,11 @@ def beam_decode_span_records(params, cfg, enc_flat, tags, *,
     from .attention_pallas import pad_pixels
     from .step_pallas import pack_step_weights
 
-    if cfg.model_type != "attention_scn":
-        raise NotImplementedError("fused_span supports attention_scn")
+    if cfg.model_type not in ("attention_scn", "pure_attention"):
+        raise NotImplementedError(
+            "fused_span needs an attention stage to amortise "
+            f"(got {cfg.model_type})")
+    cell = "scn" if cfg.model_type == "attention_scn" else "lstm"
 
     K, T, S = beam_size, max_steps, span
     B, P, E = enc_flat.shape
@@ -415,10 +443,13 @@ def beam_decode_span_records(params, cfg, enc_flat, tags, *,
     weights = pack_step_weights(params, cfg, dt)
     emb_tab = jnp.pad(params["embedding"].astype(dt),
                       ((0, Vp - V), (0, 0)))
-    sx, sh = scn_cell.semantic_projections(params["decode_step"], tags)
     tile_k = lambda x: jnp.repeat(x, K, axis=0)
-    semx = tile_k(sx.reshape(B, F4)).astype(dt)
-    semh = tile_k(sh.reshape(B, F4)).astype(dt)
+    if cell == "scn":
+        sx, sh = scn_cell.semantic_projections(params["decode_step"], tags)
+        semx = tile_k(sx.reshape(B, F4)).astype(dt)
+        semh = tile_k(sh.reshape(B, F4)).astype(dt)
+    else:
+        semx = semh = None
     h0, c0 = decoders.init_hidden_state(params, enc_flat)
     R = B * K
 
@@ -443,7 +474,7 @@ def beam_decode_span_records(params, cfg, enc_flat, tags, *,
             weights, emb_tab, enc_p, ea_p, semx, semh,
             c["h"], c["c"], c["sc"], c["pw"], c["alive"],
             span=S, num_pixels=P, end_id=end_id, img_tile=img_tile,
-            group=group, interpret=interpret, vocab_size=V)
+            group=group, interpret=interpret, vocab_size=V, cell=cell)
         at = (jnp.zeros((), jnp.int32), c["i"] * S, jnp.zeros((), jnp.int32))
         return dict(
             i=c["i"] + 1, h=h, c=cc, sc=sc, pw=pw, alive=alive,

@@ -164,8 +164,21 @@ def test_span_through_public_api():
     assert_match(ref2, out2)
 
 
+def test_span_pure_attention_matches():
+    """pure_attention (torch-order LSTM cell) through the span kernel."""
+    cfg = tiny_cfg(vocab=48, model_type="pure_attention")
+    params = decoders.init_decoder(jax.random.key(23), cfg)
+    V = cfg.vocab_size
+    params["fc"]["b"] = params["fc"]["b"].at[V - 1].set(1.2)
+    enc = jax.random.normal(jax.random.key(24), (8, 9, 16)) * 0.4
+    tags = jnp.zeros((8, cfg.semantic_dim))
+    ref, out = run_both(cfg, params, enc, tags, K=3, T=9, span=4)
+    assert int(ref["completed_count"].sum()) > 0
+    assert_match(ref, out)
+
+
 def test_span_rejects_unsupported_model():
-    cfg = ModelConfig(model_type="pure_attention", vocab_size=50)
+    cfg = ModelConfig(model_type="pure_scn", vocab_size=50)
     params = decoders.init_decoder(jax.random.key(22), cfg)
     enc = jnp.zeros((8, 9, cfg.encoder_dim))
     tags = jnp.zeros((8, cfg.semantic_dim))
