@@ -227,20 +227,25 @@ def _make_kernel(*, names, G, K, S, Pp, P, E, A, D, Emb, F, H, Vp, V,
             # ---- vocab head + per-lane top-K (f32 logprobs) ----
             logits = (dot(h_new, r["fcw"][:]).astype(dt)
                       + r["fcb"][:].astype(dt))            # (R, Vp)
+            # Work array lives in an explicit scratch ref (in-place
+            # masking rounds) instead of loop-carried SSA values so the
+            # compiler doesn't keep two (R, Vp) f32 generations live at
+            # once — the VMEM saving is what lets larger image tiles fit.
             lg = logits.astype(jnp.float32)
             if V < Vp:
                 lg = jnp.where(cols_v < V, lg, float("-inf"))
             mrow = jnp.max(lg, axis=1, keepdims=True)
-            shifted = lg - mrow
-            logs = jnp.log(jnp.sum(jnp.exp(shifted), axis=1, keepdims=True))
-            work = shifted
+            work_scr = r["work"]
+            work_scr[:] = lg - mrow
+            logs = jnp.log(jnp.sum(jnp.exp(work_scr[:]), axis=1,
+                                   keepdims=True))
             tvs, tis = [], []
             for _ in range(K):
-                v = jnp.max(work, axis=1, keepdims=True)
-                a = jnp.argmax(work, axis=1)[:, None]      # first occurrence
+                v = jnp.max(work_scr[:], axis=1, keepdims=True)
+                a = jnp.argmax(work_scr[:], axis=1)[:, None]  # first occ.
                 tvs.append(v)
                 tis.append(a)
-                work = jnp.where(cols_v == a, NEG, work)
+                work_scr[:] = jnp.where(cols_v == a, NEG, work_scr[:])
             topv = jnp.concatenate(tvs, axis=1) - logs     # (R, K) logprobs
             topi = jnp.concatenate(tis, axis=1)            # (R, K) i32
 
@@ -375,7 +380,7 @@ def fused_decode_span(weights, emb_tab, enc_p, enc_att_p, semx, semh,
 
     out_names = ["words", "parents", "vals", "h_out", "c_out", "sc_out",
                  "pw_out", "alive_out"]
-    scratch_names = ["bd", "dec", "awe"]
+    scratch_names = ["bd", "dec", "awe", "work"]
     kernel = _make_kernel(
         names=tuple(in_names + out_names + scratch_names),
         G=G, K=K, S=S, Pp=Pp, P=num_pixels, E=E, A=A, D=D, Emb=Emb,
@@ -398,7 +403,8 @@ def fused_decode_span(weights, emb_tab, enc_p, enc_att_p, semx, semh,
             jax.ShapeDtypeStruct((B, 1), jnp.int32),
         ),
         scratch_shapes=[pltpu.VMEM((m * Pp, m * K), dt),
-                        pltpu.VMEM((R, A), dt), pltpu.VMEM((R, E), dt)],
+                        pltpu.VMEM((R, A), dt), pltpu.VMEM((R, E), dt),
+                        pltpu.VMEM((R, Vp), jnp.float32)],
         interpret=interpret,
         compiler_params=None if interpret else _compiler_params(),
     )(*inputs)
