@@ -52,6 +52,19 @@ def main():
     enc = (jax.random.normal(jax.random.key(1), (B, 196, 2048)) * 0.1
            ).astype(dt)
     tags = jax.random.uniform(jax.random.key(2), (B, 1000)).astype(dt)
+
+    from indonesian_image_captioning_tpu.ops.attention_pallas import (
+        _round_up)
+    from indonesian_image_captioning_tpu.ops.span_pallas import (
+        _estimate_vmem, pick_span_tile)
+    dims = dict(Pp=_round_up(196, 16), E=2048, A=base_cfg.attention_dim,
+                D=base_cfg.decoder_dim, Emb=base_cfg.embed_dim,
+                F4=4 * base_cfg.factored_dim, Vp=_round_up(V, 128),
+                isz=dt.itemsize, group=args.group)
+    for s in (int(x) for x in args.spans.split(",")):
+        g = pick_span_tile(B, K, s, args.img_tile, dims=dims)
+        est = (_estimate_vmem(g, K, s, **dims) / 2**20) if g else 0
+        print(f"span S={s}: picked G={g} (est {est:.1f} MB scoped VMEM)")
     print(f"dims: B={B} K={K} V={V} dtype={dt} reps={args.reps}")
 
     outs = {}
