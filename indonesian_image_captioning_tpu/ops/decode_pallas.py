@@ -73,13 +73,25 @@ def pick_img_tile(B: int, K: int, max_tile: int = 16):
 
 
 def _make_kernel(*, G, K, Pp, P, E, A, D, Emb, F, H, Vp, T, m,
-                 start_id, end_id, dt):
+                 start_id, end_id, dt, L_emb=1):
     R = G * K
     F4 = 4 * F
 
     def dot(a, b):
         return jax.lax.dot_general(a, b, (((1,), (0,)), ((), ())),
                                    preferred_element_type=jnp.float32)
+
+    def xdot(a, b):
+        # EXACT one-hot contraction: the default TPU f32 matmul precision
+        # is a single bf16 pass, which bf16-rounds the payload — vocab
+        # ids >= 256 corrupt and carried f32 scores lose 16 mantissa bits
+        # (discovered on-chip via ops/span_pallas.py, same layout moves;
+        # toy-vocab tests never see it because ids < 256 are bf16-exact).
+        # HIGHEST uses 3 bf16 limbs per f32, so value*1.0 + zeros is
+        # bit-exact; layout matmuls are tiny next to the step compute.
+        return jax.lax.dot_general(a, b, (((1,), (0,)), ((), ())),
+                                   preferred_element_type=jnp.float32,
+                                   precision=jax.lax.Precision.HIGHEST)
 
     # Mosaic (jax 0.9.0) miscompiles lax.logistic/tanh on bf16 vectors
     # (f32 scalar broadcast into a bf16 vector fails verification).  The
@@ -122,12 +134,17 @@ def _make_kernel(*, G, K, Pp, P, E, A, D, Emb, F, H, Vp, T, m,
 
         def gk_to_rows(M):
             """(G, K) f32 -> (R, 1): value of the row's (image, lane)."""
-            per_row = dot(img_of, M)                       # (R, K)
+            per_row = xdot(img_of, M)                      # (R, K)
             return jnp.sum(per_row * lane_of, axis=1, keepdims=True)
 
         def rows_to_gkk(M):
             """(R, k) f32 -> (G, K*k): lane-major flatten per image."""
-            return jnp.concatenate([dot(s, M) for s in sel], axis=1)
+            return jnp.concatenate([xdot(s, M) for s in sel], axis=1)
+
+        # one-hot selections of dt-valued rows (embedding lookup, parent
+        # reorder) are exact at the bf16 default when dt is bf16; f32
+        # payloads need the exact path
+        edot = xdot if dt == jnp.float32 else dot
 
         def step(t, carry):
             any_alive = jnp.max(al_scr[:]) > 0
@@ -138,8 +155,12 @@ def _make_kernel(*, G, K, Pp, P, E, A, D, Emb, F, H, Vp, T, m,
                 c = c_scr[:]
                 # ---- embedding lookup (one-hot contraction) ----
                 cols_v = jax.lax.broadcasted_iota(jnp.int32, (R, Vp), 1)
-                oh = (cols_v == pw_scr[:]).astype(dt)
-                emb = dot(oh, emb_ref[:]).astype(dt)       # (R, Emb)
+                # exact bf16 limb tables (step_pallas.embedding_limbs)
+                oh = (cols_v == pw_scr[:]).astype(jnp.bfloat16)
+                emb_f = dot(oh, emb_ref[0])
+                for li in range(1, L_emb):
+                    emb_f = emb_f + dot(oh, emb_ref[li])
+                emb = emb_f.astype(dt)                     # (R, Emb)
 
                 # ---- attention (same schedule as attend_fused_v3) ----
                 dec_scr[:] = (dot(h, wda_ref[:]).astype(dt)
@@ -266,8 +287,8 @@ def _make_kernel(*, G, K, Pp, P, E, A, D, Emb, F, H, Vp, T, m,
                 tgt = (rows_r // K) * K + pl_r
                 colsR = jax.lax.broadcasted_iota(jnp.int32, (R, R), 1)
                 perm = (colsR == tgt).astype(dt)
-                h_sel = dot(perm, h_new).astype(dt)
-                c_sel = dot(perm, c_new).astype(dt)
+                h_sel = edot(perm, h_new).astype(dt)
+                c_sel = edot(perm, c_new).astype(dt)
                 h_scr[:] = jnp.where(act_r, h_sel, h)
                 c_scr[:] = jnp.where(act_r, c_sel, c)
 
@@ -336,8 +357,9 @@ def beam_decode_records(params, cfg, enc_flat, tags, *, beam_size: int,
     h0 = tile_k(h0).astype(dt)
     c0 = tile_k(c0).astype(dt)
 
-    emb_tab = jnp.pad(params["embedding"].astype(dt),
-                      ((0, Vp - V), (0, 0)))
+    from .step_pallas import embedding_limbs
+    emb_tab = embedding_limbs(
+        jnp.pad(params["embedding"], ((0, Vp - V), (0, 0))), dt)
     att = params["attention"]
     wda = att["decoder_att"]["w"].astype(dt)
     bda = att["decoder_att"]["b"].reshape(1, A).astype(dt)
@@ -357,7 +379,8 @@ def beam_decode_records(params, cfg, enc_flat, tags, *, beam_size: int,
 
     kernel = _make_kernel(G=G, K=K, Pp=Pp, P=P, E=E, A=A, D=D, Emb=Emb,
                           F=F, H=H, Vp=Vp, T=T, m=m,
-                          start_id=start_id, end_id=end_id, dt=dt)
+                          start_id=start_id, end_id=end_id, dt=dt,
+                          L_emb=emb_tab.shape[0])
 
     const = lambda *shape: pl.BlockSpec(
         shape, lambda b: (0,) * len(shape), memory_space=pltpu.VMEM)
@@ -372,7 +395,7 @@ def beam_decode_records(params, cfg, enc_flat, tags, *, beam_size: int,
         in_specs=[
             chunk3(Pp, E), chunk3(Pp, A),
             rows2(4 * F), rows2(4 * F), rows2(D), rows2(D),
-            const(Vp, Emb),
+            const(*emb_tab.shape),
             const(D, A), const(1, A), const(1, A),
             const(D, E), const(1, E),
             const(Emb, 4 * F), const(E, 4 * F), const(D, 4 * F),

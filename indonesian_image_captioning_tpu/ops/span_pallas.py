@@ -79,12 +79,15 @@ def _estimate_vmem(G, K, S, *, Pp, E, A, D, Emb, F4, Vp, isz, group=8):
     records = 2 * 3 * G * S * K * 4
     weights = (D * A + 2 * A + D * E + E + (Emb + E + D) * F4
                + 2 * F4 * D + 8 * D + D * Vp + Vp) * isz
-    emb_tab = Vp * Emb * isz
-    logits = 3 * R * Vp * 4 + R * Vp * isz           # lg+work+spill + one-hot
+    emb_tab = Vp * Emb * (6 if isz == 4 else 2)      # exact bf16 limb tables
+    logits = 3 * R * Vp * 4 + R * Vp * 2             # lg+work+spill + one-hot
     scratch = (m * Pp * m * K + R * A + R * E) * isz
     select = R * (G + R + 2 * K) * 4                 # img_of/perm/lane moves
+    # f32 mode: the HIGHEST-precision parent-reorder dots materialise
+    # 3-limb copies of perm (R, R) and h/c (R, D)
+    limbs = (3 * 2 * (R * R + 2 * R * D)) if isz == 4 else 0
     return (win + rows_in + state_out + records + weights + emb_tab
-            + logits + scratch + select)
+            + logits + scratch + select + limbs)
 
 
 def pick_span_tile(B: int, K: int, S: int, img_tile: int = 32, *,
@@ -102,7 +105,7 @@ def pick_span_tile(B: int, K: int, S: int, img_tile: int = 32, *,
 
 
 def _make_kernel(*, names, G, K, S, Pp, P, E, A, D, Emb, F, H, Vp, V,
-                 m, R, dt, end_id, cell="scn"):
+                 m, R, dt, end_id, cell="scn", L_emb=1):
     """Span kernel body.  names: ordered ref names matching the
     pallas_call layout in :func:`fused_decode_span`.
     cell: "scn" (factored semantic gates, order i,f,o,c — scn_cell.py) or
@@ -111,6 +114,20 @@ def _make_kernel(*, names, G, K, S, Pp, P, E, A, D, Emb, F, H, Vp, V,
     def dot(a, b):
         return jax.lax.dot_general(a, b, (((1,), (0,)), ((), ())),
                                    preferred_element_type=jnp.float32)
+
+    def xdot(a, b):
+        # EXACT one-hot contraction.  The TPU's default f32 matmul
+        # precision is a single bf16 pass, which bf16-ROUNDS the payload:
+        # vocab ids >= 256 come back as the nearest bf16 integer and
+        # carried f32 beam scores lose 16 mantissa bits (found on-chip:
+        # compiled decodes scored +13 vs the engine while all CPU tests
+        # passed, tools/exp_span_scores.py).  HIGHEST splits each f32
+        # into 3 bf16 limbs, so value*1.0 + zeros is bit-exact; these
+        # matmuls are (R,G)/(G,R)/(R,R)-sized — negligible next to the
+        # head/cell compute, which keeps the serving-precision default.
+        return jax.lax.dot_general(a, b, (((1,), (0,)), ((), ())),
+                                   preferred_element_type=jnp.float32,
+                                   precision=jax.lax.Precision.HIGHEST)
 
     def sig(x):  # f32 transcendentals: Mosaic bf16 logistic bug workaround
         return jax.nn.sigmoid(x.astype(jnp.float32)).astype(dt)
@@ -145,17 +162,26 @@ def _make_kernel(*, names, G, K, S, Pp, P, E, A, D, Emb, F, H, Vp, V,
 
         def gk_to_rows(M):
             """(G, K) f32 -> (R, 1): value of the row's (image, lane)."""
-            per_row = dot(img_of, M)                       # (R, K)
+            per_row = xdot(img_of, M)                      # (R, K)
             return jnp.sum(per_row * lane_of, axis=1, keepdims=True)
 
         def rows_to_gkk(M):
             """(R, k) f32 -> (G, K*k): lane-major flatten per image."""
-            return jnp.concatenate([dot(s, M) for s in sel], axis=1)
+            return jnp.concatenate([xdot(s, M) for s in sel], axis=1)
+
+        # one-hot selection of dt-valued rows (parent reorder) is exact at
+        # the bf16 default when dt is bf16 (x*1.0 of a bf16 value), but
+        # needs the exact path when dt is f32
+        edot = xdot if dt == jnp.float32 else dot
 
         for s in range(S):
-            # ---- embedding lookup (one-hot MXU contraction) ----
-            oh = (cols_v == pw).astype(dt)
-            emb = dot(oh, r["emb_tab"][:]).astype(dt)      # (R, Emb)
+            # ---- embedding lookup (one-hot MXU contraction against the
+            # exact bf16 limb tables; see step_pallas.embedding_limbs) ----
+            oh = (cols_v == pw).astype(jnp.bfloat16)
+            emb_f = dot(oh, r["emb_tab"][0])
+            for li in range(1, L_emb):
+                emb_f = emb_f + dot(oh, r["emb_tab"][li])
+            emb = emb_f.astype(dt)                         # (R, Emb)
 
             # ---- attention (step-kernel schedule) ----
             dec_scr[:] = (dot(h, r["wda"][:]).astype(dt)
@@ -293,8 +319,8 @@ def _make_kernel(*, names, G, K, S, Pp, P, E, A, D, Emb, F, H, Vp, V,
             pl_r = gk_to_rows(prev_lane.astype(jnp.float32)).astype(jnp.int32)
             tgt = (rows_r // K) * K + pl_r
             perm = (colsR == tgt).astype(dt)
-            h = dot(perm, h_new).astype(dt)
-            c = dot(perm, c_new).astype(dt)
+            h = edot(perm, h_new).astype(dt)
+            c = edot(perm, c_new).astype(dt)
 
         r["h_out"][:] = h
         r["c_out"][:] = c
@@ -359,7 +385,10 @@ def fused_decode_span(weights, emb_tab, enc_p, enc_att_p, semx, semh,
     rec3 = pl.BlockSpec((G, S, K), lambda b: (b, 0, 0),
                         memory_space=pltpu.VMEM)
 
-    from .step_pallas import _weight_names
+    from .step_pallas import _weight_names, embedding_limbs
+
+    emb_limbs = embedding_limbs(emb_tab, dt)       # (L, Vp, Emb) bf16 exact
+    L_emb = emb_limbs.shape[0]
 
     in_names = ["enc", "ea"]
     in_specs = [chunk3(Pp, E), chunk3(Pp, A)]
@@ -370,8 +399,8 @@ def fused_decode_span(weights, emb_tab, enc_p, enc_att_p, semx, semh,
         inputs += [semx, semh]
     in_names += ["h_in", "c_in", "sc_in", "pw_in", "alive_in", "emb_tab"]
     in_specs += [rows2(D), rows2(D), rows2(1), rows2(1), imgs2,
-                 const(*emb_tab.shape)]
-    inputs += [h, c, sc, pw, alive, emb_tab]
+                 const(*emb_limbs.shape)]
+    inputs += [h, c, sc, pw, alive, emb_limbs]
     for nm in _weight_names(cell=cell, attention=True):
         arr = weights[nm]
         in_names.append(nm)
@@ -384,7 +413,8 @@ def fused_decode_span(weights, emb_tab, enc_p, enc_att_p, semx, semh,
     kernel = _make_kernel(
         names=tuple(in_names + out_names + scratch_names),
         G=G, K=K, S=S, Pp=Pp, P=num_pixels, E=E, A=A, D=D, Emb=Emb,
-        F=F, H=H, Vp=Vp, V=V, m=m, R=R, dt=dt, end_id=end_id, cell=cell)
+        F=F, H=H, Vp=Vp, V=V, m=m, R=R, dt=dt, end_id=end_id, cell=cell,
+        L_emb=L_emb)
 
     outs = pl.pallas_call(
         kernel,

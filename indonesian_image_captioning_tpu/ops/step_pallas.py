@@ -571,6 +571,28 @@ def _weight_names(*, cell: str, attention: bool):
     return names
 
 
+def embedding_limbs(emb_tab, dt):
+    """Stack an embedding table into exact bf16 limbs (L, Vp, Emb) for the
+    in-kernel one-hot lookup of the span/full-decode kernels.
+
+    The TPU's default f32 matmul precision is one bf16 pass, which would
+    bf16-round the looked-up embedding rows at f32 eval precision.  A f32
+    value splits exactly into 3 bf16 limbs (8+8+8 of the 24 mantissa
+    bits), each residual exactly representable, and the f32 re-sum is
+    exact because the limbs occupy disjoint bit ranges — so three
+    default-precision bf16 dots + two f32 adds reproduce an exact f32
+    gather at half the cost (and a third of the VMEM) of a
+    Precision.HIGHEST dot against the f32 table.  At bf16 serving
+    precision the table is already bf16 and one limb is exact."""
+    if jnp.dtype(dt) == jnp.float32:
+        t0 = emb_tab.astype(jnp.bfloat16)
+        r1 = emb_tab - t0.astype(jnp.float32)
+        t1 = r1.astype(jnp.bfloat16)
+        t2 = (r1 - t1.astype(jnp.float32)).astype(jnp.bfloat16)
+        return jnp.stack([t0, t1, t2])
+    return emb_tab.astype(jnp.bfloat16)[None]
+
+
 def pack_step_weights(params, cfg, dt):
     """Flatten a decoder parameter tree into the kernel's layout
     (padded fc to a 128-multiple vocab; see beam_decode_records for the

@@ -186,3 +186,49 @@ def test_span_rejects_unsupported_model():
         beam_decode_span_records(params, cfg, enc, tags, beam_size=5,
                                  start_id=1, end_id=2, span=4,
                                  interpret=True)
+
+
+def test_embedding_limbs_exact():
+    """The bf16 limb split of an f32 embedding table reconstructs it
+    BIT-exactly (8+8+8 of the 24 mantissa bits; disjoint ranges make the
+    f32 re-sum exact).  Guards the on-chip corruption found in round 2:
+    the TPU's default f32 matmul precision is a single bf16 pass, so the
+    in-kernel one-hot lookups of span/full-decode kernels must contract
+    against these limbs (or Precision.HIGHEST) — at default precision
+    vocab ids >= 256 and f32 embeddings come back bf16-rounded on the
+    chip while every CPU test stays green (CPU f32 dots are exact)."""
+    import numpy as np
+
+    from indonesian_image_captioning_tpu.ops.step_pallas import (
+        embedding_limbs)
+
+    tab = jax.random.normal(jax.random.key(3), (613, 37), jnp.float32)
+    tab = tab * jnp.exp(jax.random.normal(jax.random.key(4), (613, 37)))
+    limbs = embedding_limbs(tab, jnp.float32)
+    assert limbs.shape == (3, 613, 37) and limbs.dtype == jnp.bfloat16
+    recon = sum(limbs[i].astype(jnp.float32) for i in range(3))
+    np.testing.assert_array_equal(np.asarray(recon), np.asarray(tab))
+
+    # bf16 mode: single limb, values unchanged
+    limb1 = embedding_limbs(tab.astype(jnp.bfloat16), jnp.bfloat16)
+    assert limb1.shape == (1, 613, 37)
+    np.testing.assert_array_equal(
+        np.asarray(limb1[0]), np.asarray(tab.astype(jnp.bfloat16)))
+
+
+def test_span_ids_above_256_roundtrip():
+    """Vocab ids >= 256 (not bf16-exact) survive the span kernel's
+    one-hot selection chain: seed the fc bias so the argmax words are
+    high ids and check the records carry them unchanged."""
+    cfg = tiny_cfg(vocab=384, decode_impl="fused_span")
+    params = decoders.init_decoder(jax.random.key(30), cfg)
+    # push probability mass onto ids not representable in bf16
+    for wid in (257, 301, 383):
+        params["fc"]["b"] = params["fc"]["b"].at[wid].set(3.0 + wid / 500)
+    enc = jax.random.normal(jax.random.key(31), (8, 9, 16)) * 0.3
+    tags = jax.random.uniform(jax.random.key(32), (8, cfg.semantic_dim))
+    records = beam_decode_span_records(
+        params, cfg, enc, tags, beam_size=3, start_id=cfg.vocab_size - 2,
+        end_id=cfg.vocab_size - 1, max_steps=9, span=3, interpret=True)
+    words = set(int(w) for w in records["words"].ravel())
+    assert words & {257, 301, 383}, words
