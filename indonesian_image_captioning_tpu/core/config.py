@@ -133,10 +133,19 @@ class ModelConfig:
     #             chunks stay MXU-sized and the grid pipeline keeps
     #             overlapping.  attention_scn + pure_attention; no alpha
     #             recording, no int8 state; exact vs the engine at f32
-    #             (tests/test_span_fused.py).  Opt-in pending on-chip
-    #             measurement; ineligible shapes fall back to the step
-    #             engine.
-    #   "auto"  — "fused_step" on TPU when eligible, else "steps".
+    #             (tests/test_span_fused.py; on-chip compiled records
+    #             match interpret bit-for-bit, tools/exp_span_compiled.py,
+    #             after the one-hot payload-precision fix).  Measured vs
+    #             fused_step (v5e, K=5, S=4, 2026-08-18): bf16 B=1024
+    #             5655 vs 5228 captions/s (+8.2%); bf16 B=2048 6106 vs
+    #             5760 (+6.0%); f32 B=256 3218 vs 2914 (+10.4%).  S sweep
+    #             at B=1024: S=2 +2.7%, S=4 +8.2%, S=8 +5.3% (and a 10-min
+    #             Mosaic compile) — S=4 is the optimum.  Ineligible
+    #             shapes (pure_scn, alphas, int8 state, COCO-scale vocab
+    #             where the embedding+fc tables blow VMEM) fall back to
+    #             fused_step.
+    #   "auto"  — best eligible rung on TPU: "fused_span", else
+    #             "fused_step", else "steps" (always "steps" on CPU).
     decode_impl: str = "auto"
     # Steps per span-kernel call for decode_impl="fused_span".
     decode_span: int = 4

@@ -232,3 +232,33 @@ def test_span_ids_above_256_roundtrip():
         end_id=cfg.vocab_size - 1, max_steps=9, span=3, interpret=True)
     words = set(int(w) for w in records["words"].ravel())
     assert words & {257, 301, 383}, words
+
+
+def test_auto_ladder_resolution():
+    """decode_impl="auto" walks span -> step -> engine by eligibility."""
+    from indonesian_image_captioning_tpu.decode.api import resolve_decode_impl
+
+    flag = dict(batch_size=1024, beam_size=5, itemsize=2, num_pixels=196,
+                record_alphas=False)
+    cfg = ModelConfig(model_type="attention_scn", vocab_size=6763)
+    assert resolve_decode_impl(cfg, backend="tpu", **flag)[0] == "fused_span"
+    # CPU always resolves to the engine
+    assert resolve_decode_impl(cfg, backend="cpu", **flag)[0] == "steps"
+    # pure_scn has no attention stage to amortise -> fused_step
+    cfg2 = ModelConfig(model_type="pure_scn", vocab_size=6763)
+    assert resolve_decode_impl(cfg2, backend="tpu", **flag)[0] == "fused_step"
+    # alpha recording is engine-only
+    flag_a = dict(flag, record_alphas=True)
+    assert resolve_decode_impl(cfg, backend="tpu", **flag_a)[0] == "steps"
+    # int8 encoder state composes with fused_step but not the span kernel
+    cfg3 = ModelConfig(model_type="attention_scn", vocab_size=6763,
+                       enc_quant="int8")
+    assert resolve_decode_impl(cfg3, backend="tpu", **flag)[0] == "fused_step"
+    # COCO-scale vocab: the in-VMEM embedding+fc tables blow the span
+    # budget -> fused_step
+    cfg4 = ModelConfig(model_type="attention_scn", vocab_size=38732)
+    assert resolve_decode_impl(cfg4, backend="tpu", **flag)[0] == "fused_step"
+    # explicit impls pass through untouched
+    cfg5 = ModelConfig(model_type="attention_scn", vocab_size=6763,
+                       decode_impl="steps")
+    assert resolve_decode_impl(cfg5, backend="tpu", **flag)[0] == "steps"
