@@ -138,7 +138,8 @@ class ModelConfig:
     #             after the one-hot payload-precision fix).  Measured vs
     #             fused_step (v5e, K=5, S=4, 2026-08-18): bf16 B=1024
     #             5655 vs 5228 captions/s (+8.2%); bf16 B=2048 6106 vs
-    #             5760 (+6.0%); f32 B=256 3218 vs 2914 (+10.4%).  S sweep
+    #             5760 (+6.0%); f32 B=256 3218 vs 2914 (+10.4%);
+    #             pure_attention bf16 B=2048 6429 vs 5943 (+8.2%).  S sweep
     #             at B=1024: S=2 +2.7%, S=4 +8.2%, S=8 +5.3% (and a 10-min
     #             Mosaic compile) — S=4 is the optimum.  Ineligible
     #             shapes (pure_scn, alphas, int8 state, COCO-scale vocab
