@@ -64,7 +64,7 @@ NEG = -1e30  # matches decode/beam.py NEG_INF
 _VMEM_BUDGET = 112 * 1024 * 1024
 
 
-def _estimate_vmem(G, K, S, *, Pp, E, A, D, Emb, F4, Vp, isz, group=8):
+def _estimate_vmem(G, K, S, *, Pp, E, A, D, Emb, F4, Vp, isz, group=4):
     """Estimated scoped-VMEM bytes for a (G, group, S) schedule: double-
     buffered windows and row inputs, constant weight + embedding blocks,
     state outputs, selection records, the f32 logits/top-k work arrays
@@ -336,7 +336,7 @@ def _make_kernel(*, names, G, K, S, Pp, P, E, A, D, Emb, F, H, Vp, V,
                               "group", "interpret", "vocab_size", "cell"))
 def fused_decode_span(weights, emb_tab, enc_p, enc_att_p, semx, semh,
                       h, c, sc, pw, alive, *, span: int, num_pixels: int,
-                      end_id: int, img_tile: int = 32, group: int = 8,
+                      end_id: int, img_tile: int = 32, group: int = 4,
                       interpret=None, vocab_size=None, cell: str = "scn"):
     """Run ``span`` consecutive beam steps over (B, K) lanes.
 
@@ -448,7 +448,7 @@ def fused_decode_span(weights, emb_tab, enc_p, enc_att_p, semx, semh,
 def beam_decode_span_records(params, cfg, enc_flat, tags, *,
                              beam_size: int, start_id: int, end_id: int,
                              max_steps: int = 51, span: int = 4,
-                             img_tile: int = 32, group: int = 8,
+                             img_tile: int = 32, group: int = 4,
                              interpret=None):
     """Drive the span kernel over ceil(T/span) calls with early exit.
 
