@@ -64,7 +64,8 @@ NEG = -1e30  # matches decode/beam.py NEG_INF
 _VMEM_BUDGET = 112 * 1024 * 1024
 
 
-def _estimate_vmem(G, K, S, *, Pp, E, A, D, Emb, F4, Vp, isz, group=4):
+def _estimate_vmem(G, K, S, *, Pp, E, A, D, Emb, F4, Vp, isz, group=4,
+                   win_single=False):
     """Estimated scoped-VMEM bytes for a (G, group, S) schedule: double-
     buffered windows and row inputs, constant weight + embedding blocks,
     state outputs, selection records, the f32 logits/top-k work arrays
@@ -73,7 +74,9 @@ def _estimate_vmem(G, K, S, *, Pp, E, A, D, Emb, F4, Vp, isz, group=4):
     m = min(group, G)
     while G % m:
         m -= 1
-    win = 2 * G * Pp * (E + A) * isz                 # enc + enc_att windows
+    # enc + enc_att windows: Mosaic streaming double-buffers them;
+    # win_single copies into one manual buffer each (half the VMEM)
+    win = (1 if win_single else 2) * G * Pp * (E + A) * isz
     rows_in = 2 * (R * (2 * D + 2 * F4) * isz + R * 8)   # h/c/semx/semh+sc/pw
     state_out = 2 * (R * 2 * D * isz + R * 8 + G * 4)
     records = 2 * 3 * G * S * K * 4
@@ -105,7 +108,7 @@ def pick_span_tile(B: int, K: int, S: int, img_tile: int = 32, *,
 
 
 def _make_kernel(*, names, G, K, S, Pp, P, E, A, D, Emb, F, H, Vp, V,
-                 m, R, dt, end_id, cell="scn", L_emb=1):
+                 m, R, dt, end_id, cell="scn", L_emb=1, win_single=False):
     """Span kernel body.  names: ordered ref names matching the
     pallas_call layout in :func:`fused_decode_span`.
     cell: "scn" (factored semantic gates, order i,f,o,c — scn_cell.py) or
@@ -174,6 +177,39 @@ def _make_kernel(*, names, G, K, S, Pp, P, E, A, D, Emb, F, H, Vp, V,
         # needs the exact path when dt is f32
         edot = xdot if dt == jnp.float32 else dot
 
+        if win_single:
+            # SINGLE-buffered manual window DMA: enc/ea stay in HBM
+            # (memory_space=ANY) and the kernel copies chunk i's windows
+            # into ONE VMEM buffer each — half the window VMEM of
+            # Mosaic's double-buffered streaming, which is what lets
+            # G=32 tiles fit.  The copy is NOT overlapped with compute,
+            # but the span kernel's window DMA is already amortised over
+            # S steps (~0.06 ms vs ~1.8 ms compute per chunk at G=32).
+            i = pl.program_id(0)
+            enc_buf, ea_buf, sem = r["enc_buf"], r["ea_buf"], r["sem"]
+            copies = (
+                pltpu.make_async_copy(r["enc"].at[pl.ds(i * G, G)],
+                                      enc_buf, sem.at[0]),
+                pltpu.make_async_copy(r["ea"].at[pl.ds(i * G, G)],
+                                      ea_buf, sem.at[1]),
+            )
+            for cp in copies:
+                cp.start()
+            for cp in copies:
+                cp.wait()
+
+            def ea_at(g):
+                return ea_buf[g]
+
+            def enc_group(base, mm):
+                return enc_buf[pl.ds(base, mm)]
+        else:
+            def ea_at(g):
+                return r["ea"][g]
+
+            def enc_group(base, mm):
+                return r["enc"][pl.ds(base, mm)]
+
         for s in range(S):
             # ---- embedding lookup (one-hot MXU contraction against the
             # exact bf16 limb tables; see step_pallas.embedding_limbs) ----
@@ -190,7 +226,7 @@ def _make_kernel(*, names, G, K, S, Pp, P, E, A, D, Emb, F, H, Vp, V,
                 bd_scr[:] = jnp.zeros_like(bd_scr)
                 for j in range(m):
                     g = base + j
-                    ea = r["ea"][g]                        # (Pp, A)
+                    ea = ea_at(g)                          # (Pp, A)
                     dk = dec_scr[g * K:(g + 1) * K, :]
                     cols = []
                     for k in range(K):
@@ -206,7 +242,7 @@ def _make_kernel(*, names, G, K, S, Pp, P, E, A, D, Emb, F, H, Vp, V,
                     alpha = ex / ssum                      # (Pp, K) f32
                     bd_scr[j * Pp:(j + 1) * Pp, j * K:(j + 1) * K] = \
                         alpha.astype(bd_scr.dtype)
-                enc_grp = r["enc"][pl.ds(base, m)].reshape(m * Pp, E)
+                enc_grp = enc_group(base, m).reshape(m * Pp, E)
                 awe_scr[base * K:(base + m) * K, :] = jax.lax.dot_general(
                     bd_scr[:], enc_grp, (((0,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32).astype(dt)
@@ -333,11 +369,13 @@ def _make_kernel(*, names, G, K, S, Pp, P, E, A, D, Emb, F, H, Vp, V,
 
 @functools.partial(
     jax.jit, static_argnames=("span", "num_pixels", "end_id", "img_tile",
-                              "group", "interpret", "vocab_size", "cell"))
+                              "group", "interpret", "vocab_size", "cell",
+                              "window_mode"))
 def fused_decode_span(weights, emb_tab, enc_p, enc_att_p, semx, semh,
                       h, c, sc, pw, alive, *, span: int, num_pixels: int,
                       end_id: int, img_tile: int = 32, group: int = 4,
-                      interpret=None, vocab_size=None, cell: str = "scn"):
+                      interpret=None, vocab_size=None, cell: str = "scn",
+                      window_mode: str = "stream"):
     """Run ``span`` consecutive beam steps over (B, K) lanes.
 
     weights: dict from ops/step_pallas.pack_step_weights (attention_scn
@@ -346,6 +384,9 @@ def fused_decode_span(weights, emb_tab, enc_p, enc_att_p, semx, semh,
     enc_p/enc_att_p: (B, Pp, E|A) pre-padded loop invariants.
     h/c: (B*K, D); sc: (B*K, 1) f32 cumulative scores (NEG on dead lanes);
     pw: (B*K, 1) i32 previous words; alive: (B, 1) i32 live-lane counts.
+    window_mode: "stream" (Mosaic double-buffered window pipeline) or
+    "single" (manual single-buffered DMA — half the window VMEM, so
+    bigger image tiles fit; bit-identical compute body).
     Returns (words, parents (B, span, K) i32, vals (B, span, K) f32,
     h', c', sc', pw', alive').
     """
@@ -364,9 +405,10 @@ def fused_decode_span(weights, emb_tab, enc_p, enc_att_p, semx, semh,
     dt = h.dtype
     S = span
 
+    win_single = window_mode == "single"
     G = pick_span_tile(B, K, S, img_tile, dims=dict(
         Pp=Pp, E=E, A=A, D=D, Emb=Emb, F4=F4, Vp=Vp,
-        isz=jnp.dtype(dt).itemsize, group=group))
+        isz=jnp.dtype(dt).itemsize, group=group, win_single=win_single))
     if G is None:
         raise ValueError(f"no VMEM-feasible span tile G divides B={B} "
                          f"with G*{K}%8==0")
@@ -391,7 +433,11 @@ def fused_decode_span(weights, emb_tab, enc_p, enc_att_p, semx, semh,
     L_emb = emb_limbs.shape[0]
 
     in_names = ["enc", "ea"]
-    in_specs = [chunk3(Pp, E), chunk3(Pp, A)]
+    if win_single:
+        in_specs = [pl.BlockSpec(memory_space=pl.ANY),
+                    pl.BlockSpec(memory_space=pl.ANY)]
+    else:
+        in_specs = [chunk3(Pp, E), chunk3(Pp, A)]
     inputs = [enc_p, enc_att_p]
     if cell == "scn":
         in_names += ["semx", "semh"]
@@ -410,11 +456,19 @@ def fused_decode_span(weights, emb_tab, enc_p, enc_att_p, semx, semh,
     out_names = ["words", "parents", "vals", "h_out", "c_out", "sc_out",
                  "pw_out", "alive_out"]
     scratch_names = ["bd", "dec", "awe", "work"]
+    scratch_shapes = [pltpu.VMEM((m * Pp, m * K), dt),
+                      pltpu.VMEM((R, A), dt), pltpu.VMEM((R, E), dt),
+                      pltpu.VMEM((R, Vp), jnp.float32)]
+    if win_single:
+        scratch_names += ["enc_buf", "ea_buf", "sem"]
+        scratch_shapes += [pltpu.VMEM((G, Pp, E), dt),
+                           pltpu.VMEM((G, Pp, A), dt),
+                           pltpu.SemaphoreType.DMA((2,))]
     kernel = _make_kernel(
         names=tuple(in_names + out_names + scratch_names),
         G=G, K=K, S=S, Pp=Pp, P=num_pixels, E=E, A=A, D=D, Emb=Emb,
         F=F, H=H, Vp=Vp, V=V, m=m, R=R, dt=dt, end_id=end_id, cell=cell,
-        L_emb=L_emb)
+        L_emb=L_emb, win_single=win_single)
 
     outs = pl.pallas_call(
         kernel,
@@ -432,9 +486,7 @@ def fused_decode_span(weights, emb_tab, enc_p, enc_att_p, semx, semh,
             jax.ShapeDtypeStruct((R_total, 1), jnp.int32),
             jax.ShapeDtypeStruct((B, 1), jnp.int32),
         ),
-        scratch_shapes=[pltpu.VMEM((m * Pp, m * K), dt),
-                        pltpu.VMEM((R, A), dt), pltpu.VMEM((R, E), dt),
-                        pltpu.VMEM((R, Vp), jnp.float32)],
+        scratch_shapes=scratch_shapes,
         interpret=interpret,
         compiler_params=None if interpret else _compiler_params(),
     )(*inputs)
@@ -444,12 +496,12 @@ def fused_decode_span(weights, emb_tab, enc_p, enc_att_p, semx, semh,
 @functools.partial(
     jax.jit, static_argnames=("cfg", "beam_size", "start_id", "end_id",
                               "max_steps", "span", "img_tile", "group",
-                              "interpret"))
+                              "interpret", "window_mode"))
 def beam_decode_span_records(params, cfg, enc_flat, tags, *,
                              beam_size: int, start_id: int, end_id: int,
                              max_steps: int = 51, span: int = 4,
                              img_tile: int = 32, group: int = 4,
-                             interpret=None):
+                             interpret=None, window_mode: str = "stream"):
     """Drive the span kernel over ceil(T/span) calls with early exit.
 
     Returns {"words"/"parents": (B, T, K) i32, "vals": (B, T, K) f32} for
@@ -510,7 +562,8 @@ def beam_decode_span_records(params, cfg, enc_flat, tags, *,
             weights, emb_tab, enc_p, ea_p, semx, semh,
             c["h"], c["c"], c["sc"], c["pw"], c["alive"],
             span=S, num_pixels=P, end_id=end_id, img_tile=img_tile,
-            group=group, interpret=interpret, vocab_size=V, cell=cell)
+            group=group, interpret=interpret, vocab_size=V, cell=cell,
+            window_mode=window_mode)
         at = (jnp.zeros((), jnp.int32), c["i"] * S, jnp.zeros((), jnp.int32))
         return dict(
             i=c["i"] + 1, h=h, c=cc, sc=sc, pw=pw, alive=alive,

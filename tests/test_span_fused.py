@@ -262,3 +262,24 @@ def test_auto_ladder_resolution():
     cfg5 = ModelConfig(model_type="attention_scn", vocab_size=6763,
                        decode_impl="steps")
     assert resolve_decode_impl(cfg5, backend="tpu", **flag)[0] == "steps"
+
+
+def test_span_window_mode_single_bit_exact():
+    """window_mode="single" (manual single-buffered window DMA — half the
+    window VMEM, enabling larger image tiles) runs the same compute body
+    as the Mosaic-streamed default and must emit identical records."""
+    import numpy as np
+
+    cfg = tiny_cfg(vocab=300)
+    params = decoders.init_decoder(jax.random.key(40), cfg)
+    params["fc"]["b"] = params["fc"]["b"].at[299].set(1.5)
+    enc = jax.random.normal(jax.random.key(41), (8, 9, 16)) * 0.3
+    tags = jax.random.uniform(jax.random.key(42), (8, cfg.semantic_dim))
+    kw = dict(beam_size=3, start_id=298, end_id=299, max_steps=9, span=3,
+              interpret=True)
+    a = beam_decode_span_records(params, cfg, enc, tags,
+                                 window_mode="stream", **kw)
+    b = beam_decode_span_records(params, cfg, enc, tags,
+                                 window_mode="single", **kw)
+    for k in ("words", "parents", "vals"):
+        np.testing.assert_array_equal(np.asarray(a[k]), np.asarray(b[k]))
