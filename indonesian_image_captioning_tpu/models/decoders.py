@@ -172,6 +172,15 @@ def teacher_forcing(params, cfg: ModelConfig, enc, tags, caps,
         dropout_rng = jax.random.key(0)
     step_keys = jax.random.split(dropout_rng, T)
     ts = jnp.arange(T)
+    # Rematerialisation: save each step's matmul OUTPUTS (dec/awe/gate
+    # pre-activations/logits — ~B*(A+P+E+8D+V) per step) but recompute the
+    # elementwise intermediates in the backward pass.  Without this the
+    # scan's residuals include the (B, P, A) relu(enc_att + dec) tensor of
+    # every step — f32[51, 512, 196, 512] = 9.96 GB at batch 512, an HBM
+    # OOM; with it the recompute is VPU-only broadcast/relu/softmax,
+    # measured within noise of the unchecked step at batch 256.
+    step = jax.checkpoint(
+        step, policy=jax.checkpoint_policies.checkpoint_dots)
     (_, _), outs = jax.lax.scan(step, (h, c), (ts, step_keys))
 
     predictions = jnp.swapaxes(outs[0], 0, 1)           # (B, T, V)
