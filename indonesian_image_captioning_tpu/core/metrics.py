@@ -35,6 +35,29 @@ class AverageMeter:
         self.avg = self.sum / max(self.count, 1)
 
 
+def topk_hit(scores: jax.Array, targets: jax.Array, k: int) -> jax.Array:
+    """Whether each row's target id is among the top-k scores — WITHOUT
+    lax.top_k.
+
+    On TPU ``lax.top_k`` lowers to a full stable SORT of the score matrix
+    — profiled at 242 ms/step at (1024, 51, 6763) inside the caption
+    train step, 48% of its whole runtime.  Membership only needs the
+    target's RANK: it is in the stable top-k iff fewer than k entries
+    precede it, i.e. strictly-greater values plus equal values at lower
+    indices (exactly lax.top_k's first-occurrence tie order).  Three
+    elementwise passes over the scores, no sort.
+
+    scores: (..., vocab); targets: (...,) int ids.  Returns bool (...,).
+    """
+    t = targets[..., None]
+    st = jnp.take_along_axis(scores, t, axis=-1)           # (..., 1)
+    idx = jax.lax.broadcasted_iota(jnp.int32, scores.shape,
+                                   scores.ndim - 1)
+    greater = (scores > st).sum(axis=-1)
+    ties_before = ((scores == st) & (idx < t)).sum(axis=-1)
+    return (greater + ties_before) < k
+
+
 def topk_accuracy(scores: jax.Array, targets: jax.Array, k: int,
                   mask: jax.Array | None = None) -> jax.Array:
     """Top-k accuracy in percent.
@@ -44,8 +67,7 @@ def topk_accuracy(scores: jax.Array, targets: jax.Array, k: int,
     reference utils/metric.py:25-39 exactly; the mask generalises it to the
     fixed-shape masked-scan training path where padded steps must not count.
     """
-    _, ind = jax.lax.top_k(scores, k)                      # (N, k)
-    correct = (ind == targets[:, None]).any(axis=1)        # (N,)
+    correct = topk_hit(scores, targets, k)                 # (N,)
     if mask is None:
         return jnp.mean(correct.astype(jnp.float32)) * 100.0
     mask = mask.astype(jnp.float32)

@@ -44,6 +44,37 @@ SCN_BASED_MODELS = frozenset({"pure_scn", "attention_scn"})
 ATT_BASED_MODELS = frozenset({"pure_attention", "attention_scn"})
 
 
+@jax.custom_vjp
+def embed_lookup(table, ids):
+    """Embedding gather with a matmul-backward.
+
+    Forward is the plain row gather.  The DEFAULT backward of a gather is
+    a scatter-add over the (B*T) duplicate-heavy caption ids, which
+    XLA:TPU lowers to a deterministic SORT of the updates — profiled at
+    242 ms/step at batch 1024, 48% of the whole decoder train step.  The
+    custom backward contracts the one-hot of the ids against the
+    cotangent on the MXU instead (~2 ms): dtable = one_hot(ids)^T @ g.
+    """
+    return table[ids]
+
+
+def _embed_lookup_fwd(table, ids):
+    return table[ids], (ids, jnp.zeros((table.shape[0], 0), table.dtype))
+
+
+def _embed_lookup_bwd(res, g):
+    ids, proto = res
+    gf = g.reshape(-1, g.shape[-1])
+    oh = jax.nn.one_hot(ids.reshape(-1), proto.shape[0], dtype=gf.dtype)
+    dtable = jax.lax.dot_general(
+        oh, gf, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    return dtable.astype(proto.dtype), None
+
+
+embed_lookup.defvjp(_embed_lookup_fwd, _embed_lookup_bwd)
+
+
 def cell_input_dim(cfg: ModelConfig) -> int:
     """SCN/LSTM cell input width: embedding alone for pure_scn, embedding
     concat attention-weighted encoding otherwise (attention_scn.py:45-46)."""
@@ -131,7 +162,7 @@ def teacher_forcing(params, cfg: ModelConfig, enc, tags, caps,
     enc_flat = flatten_encoding(enc, cfg.encoder_dim)
 
     h, c = init_hidden_state(params, enc_flat)
-    emb = params["embedding"][caps[:, :T]]              # (B, T, Emb)
+    emb = embed_lookup(params["embedding"], caps[:, :T])  # (B, T, Emb)
 
     # Hoisted loop invariants.
     if is_scn:

@@ -98,3 +98,32 @@ def test_binary_accuracy_ignores_padded_rows():
     np.testing.assert_allclose(
         float(_binary_accuracy(probs_p, targets_p, row_valid=valid)),
         float(base), rtol=1e-6)
+
+
+def test_topk_hit_matches_lax_top_k():
+    """topk_hit's rank-membership formulation must agree with lax.top_k's
+    stable first-occurrence semantics, ties included — it replaces the
+    top_k (a full TPU sort, 242 ms/step at train dims) in the accuracy
+    metrics."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from indonesian_image_captioning_tpu.core.metrics import topk_hit
+
+    key = jax.random.key(0)
+    # quantized scores force plenty of exact ties
+    scores = jnp.round(jax.random.normal(key, (64, 37)) * 3) / 3
+    targets = jax.random.randint(jax.random.key(1), (64,), 0, 37)
+    for k in (1, 3, 5):
+        _, ind = jax.lax.top_k(scores, k)
+        ref = (ind == targets[:, None]).any(axis=1)
+        got = topk_hit(scores, targets, k)
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+    # 3-d (B, T, V) shape as used by masked_topk_accuracy
+    s3 = jnp.round(jax.random.normal(jax.random.key(2), (4, 6, 23)) * 2) / 2
+    t3 = jax.random.randint(jax.random.key(3), (4, 6), 0, 23)
+    _, ind = jax.lax.top_k(s3, 5)
+    ref = (ind == t3[..., None]).any(axis=-1)
+    got = topk_hit(s3, t3, 5)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
