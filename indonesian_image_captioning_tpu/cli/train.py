@@ -41,6 +41,15 @@ def build_parser() -> argparse.ArgumentParser:
                         "bf16 compute with f32 master weights "
                         "(TrainConfig.decoder_dtype; default float32 "
                         "for reference parity)")
+    p.add_argument("--cache_features", action="store_true",
+                   help="precompute the frozen encoder/tagger outputs once "
+                        "per unique image and reuse them every epoch "
+                        "(TrainConfig.cache_features; exact at the default "
+                        "float32 cache dtype, requires a frozen encoder)")
+    p.add_argument("--cache_dtype", default=None,
+                   choices=("float32", "bfloat16"),
+                   help="feature-cache storage dtype (bfloat16 halves the "
+                        "cache memory at one rounding of the features)")
     p.add_argument("--mesh", default=None, metavar="D,M",
                    help="device mesh as data,model axis sizes, e.g. 8,1 for "
                         "pure DP or 4,2 for DP+vocab-sharded TP; default "
@@ -103,6 +112,10 @@ def _override(tcfg: TrainConfig, args) -> TrainConfig:
         kw["decoder_lr"] = args.decoder_lr
     if getattr(args, "decoder_dtype", None):
         kw["decoder_dtype"] = args.decoder_dtype
+    if getattr(args, "cache_features", False):
+        kw["cache_features"] = True
+    if getattr(args, "cache_dtype", None):
+        kw["cache_dtype"] = args.cache_dtype
     if getattr(args, "mesh", None):
         parts = tuple(int(x) for x in args.mesh.split(","))
         if len(parts) == 1:

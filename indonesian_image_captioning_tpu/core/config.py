@@ -246,6 +246,27 @@ class TrainConfig:
     # f32: bit-parity with the reference's training numerics (the
     # serving decode is bf16 regardless).
     decoder_dtype: str = "float32"
+    # Precompute the FROZEN encoder/tagger outputs once per unique image
+    # and reuse them every epoch (train/feature_cache.py).  Both ResNets
+    # run in eval mode when frozen, so their outputs are deterministic per
+    # image — the reference recomputes them for every caption row of every
+    # epoch (trains/attention_scn.py:213-214, and 5x per image per epoch
+    # since each image carries captions_per_image rows).  With the cache,
+    # steady-state epochs are pure decoder work.  Exact: at the default
+    # cache_dtype="float32" the cached values ARE the encode_fn outputs,
+    # so losses match the uncached path bit-for-bit
+    # (tests/test_feature_cache.py).  The cache lives in HBM when it fits
+    # the budget below (gathered by a jitted index lookup, zero host
+    # traffic per step) and falls back to host RAM otherwise (gathered by
+    # the loader's prefetch thread).  Requires fine_tune_encoder=False.
+    cache_features: bool = False
+    # Storage dtype for the cache: "float32" (exact, 1.6 MB/image at
+    # flagship dims) or "bfloat16" (half the memory; features round once).
+    cache_dtype: str = "float32"
+    # HBM budget for the device-resident cache, in GiB; larger caches fall
+    # back to host RAM.  v5e has 16 GiB — 6 leaves room for the decoder
+    # step at large batch.
+    cache_device_budget_gb: float = 6.0
     # Calibrate the FROZEN caption encoder's BatchNorm running stats with
     # this many train-mode EMA passes over training batches before epoch 0.
     # Needed when the encoder is NOT pretrained: at random init the running

@@ -31,6 +31,18 @@ def _artifact(folder: str, split: str, kind: str, base: str, ext: str) -> str:
     return os.path.join(folder, f"{split}_{kind}_{base}.{ext}")
 
 
+def _fancy_index(images, idx: np.ndarray) -> np.ndarray:
+    """Gather rows by (possibly repeated, unsorted) indices from either an
+    in-RAM array or an h5py dataset (which requires sorted unique fancy
+    indices)."""
+    if isinstance(images, np.ndarray):
+        return images[idx]
+    order = np.argsort(idx, kind="stable")
+    uniq, inv = np.unique(idx[order], return_inverse=True)
+    return np.asarray(images[uniq.tolist()])[inv][
+        np.argsort(order, kind="stable")]
+
+
 class CaptionDataset:
     """One item per caption: (image u8 CHW, caption ids, caplen[, allcaps])."""
 
@@ -61,6 +73,9 @@ class CaptionDataset:
             _artifact(data_folder, split, "CAPLENS", data_name, "json")),
             np.int32)
         assert len(self.captions) == len(self.caplens)
+        # Set False when batches don't need pixels (e.g. the frozen-feature
+        # cache serves encoder outputs instead, train/feature_cache.py).
+        self.load_images = True
 
     def __len__(self) -> int:
         return len(self.captions)
@@ -72,21 +87,19 @@ class CaptionDataset:
     def image(self, img_idx: int) -> np.ndarray:
         return np.asarray(self._images[img_idx])
 
+    def gather_images(self, img_idx: np.ndarray) -> np.ndarray:
+        """Batch fetch of unique-image rows (u8 CHW) by IMAGE index."""
+        return _fancy_index(self._images, img_idx)
+
     def gather(self, idx: np.ndarray) -> Dict[str, np.ndarray]:
         """Vectorised batch fetch for caption indices ``idx``."""
         img_idx = idx // self.cpi
-        if isinstance(self._images, np.ndarray):
-            images = self._images[img_idx]
-        else:  # h5py needs sorted unique fancy indices
-            order = np.argsort(img_idx, kind="stable")
-            uniq, inv = np.unique(img_idx[order], return_inverse=True)
-            images = np.asarray(self._images[uniq.tolist()])[inv][
-                np.argsort(order, kind="stable")]
         batch = {
-            "images": images,                          # (B, 3, S, S) u8
             "captions": self.captions[idx],            # (B, L)
             "caplens": self.caplens[idx],              # (B,)
         }
+        if self.load_images:
+            batch["images"] = _fancy_index(self._images, img_idx)  # u8 CHW
         if self.tags is not None:
             batch["tags"] = self.tags[img_idx]         # (B, tag_size)
         if self.split != "TRAIN":
@@ -122,11 +135,5 @@ class TagDataset:
         return self.tags.shape[0]
 
     def gather(self, idx: np.ndarray) -> Dict[str, np.ndarray]:
-        if isinstance(self._images, np.ndarray):
-            images = self._images[idx]
-        else:
-            order = np.argsort(idx, kind="stable")
-            uniq, inv = np.unique(idx[order], return_inverse=True)
-            images = np.asarray(self._images[uniq.tolist()])[inv][
-                np.argsort(order, kind="stable")]
-        return {"images": images, "tags": self.tags[idx]}
+        return {"images": _fancy_index(self._images, idx),
+                "tags": self.tags[idx]}

@@ -43,7 +43,8 @@ def batch_indices(n: int, batch_size: int, *, shuffle: bool, seed: int,
 
 def iterate(dataset, batch_size: int, *, shuffle: bool = False, seed: int = 0,
             epoch: int = 0, drop_last: bool = False,
-            process_index: int = 0, process_count: int = 1
+            process_index: int = 0, process_count: int = 1,
+            with_index: bool = False
             ) -> Iterator[Dict[str, np.ndarray]]:
     """Host-side batch iterator over a dataset with .gather(idx).
 
@@ -63,6 +64,11 @@ def iterate(dataset, batch_size: int, *, shuffle: bool = False, seed: int = 0,
                                       shuffle=shuffle, seed=seed, epoch=epoch,
                                       drop_last=drop_last):
         batch = dataset.gather(chunk[lo:hi])
+        if with_index:
+            # dataset indices of each row (padding rows repeat index 0 and
+            # are masked by valid/caplens downstream) — lets device-resident
+            # caches gather per-row data by a jitted lookup
+            batch["index"] = chunk[lo:hi].astype(np.int32)
         mask = np.zeros(batch_size, np.float32)
         mask[:valid] = 1.0
         batch["valid"] = mask[lo:hi]

@@ -211,11 +211,47 @@ def main(model_type: str,
     n_val = loader_lib.num_batches(len(val_ds), tcfg.batch_size)
     state_box = {"state": state}
 
+    # -- frozen-feature cache: encoders run once per unique image ----------
+    # (train/feature_cache.py; exact at cache_dtype="float32").  With a
+    # mesh the cache stays on host — rows join the batch in the dataset
+    # view and ride the loader's sharded prefetch like any other leaf.
+    train_cache = val_cache = None
+    train_it_ds, val_it_ds = train_ds, val_ds
+    if tcfg.cache_features:
+        if tcfg.fine_tune_encoder:
+            raise ValueError("cache_features requires a frozen encoder "
+                             "(fine_tune_encoder=False)")
+        from . import feature_cache
+        force_host = mesh is not None
+        train_cache = feature_cache.build(state, cfg, tcfg, train_ds,
+                                          log=log, split="TRAIN",
+                                          force_host=force_host)
+        val_cache = feature_cache.build(state, cfg, tcfg, val_ds,
+                                        log=log, split="VAL",
+                                        force_host=force_host)
+        if train_cache.on_device:
+            train_ds.load_images = False
+            val_ds.load_images = False
+        else:
+            train_it_ds = train_cache.host_view(train_ds)
+            val_it_ds = val_cache.host_view(val_ds)
+
+        import jax as __jax
+        import jax.numpy as __jnp
+        _to_f32 = __jax.jit(lambda f, t: (f.astype(__jnp.float32),
+                                          t.astype(__jnp.float32)))
+
+        def cached_encode(cache, batch):
+            if cache.on_device:
+                return cache.lookup(batch["index"])
+            return _to_f32(batch["features"], batch["ftags"])
+
     def train_epoch(epoch: int):
         printer = EpochPrinter("Epoch", epoch, n_train, tcfg.print_freq, log)
         it = loader_lib.prefetch_to_device(loader_lib.iterate(
-            train_ds, tcfg.batch_size, shuffle=True, seed=tcfg.seed,
-            epoch=epoch, **proc), sharding=batch_shard)
+            train_it_ds, tcfg.batch_size, shuffle=True, seed=tcfg.seed,
+            epoch=epoch, with_index=train_cache is not None, **proc),
+            sharding=batch_shard)
         # metrics stay on device between print boundaries: a per-step sync
         # serializes the remote dispatch pipeline (~2x step time)
         pending = []
@@ -242,7 +278,10 @@ def main(model_type: str,
                                        rng)
                 state_box["state"] = {**st, **sub}
             else:
-                enc_out, tags = encode_fn(st, batch)
+                if train_cache is not None:
+                    enc_out, tags = cached_encode(train_cache, batch)
+                else:
+                    enc_out, tags = encode_fn(st, batch)
                 sub, m = train_step({"params": st["params"],
                                      "opt_state": st["opt_state"]},
                                     enc_out, tags, batch["captions"],
@@ -258,11 +297,15 @@ def main(model_type: str,
         printer = EpochPrinter("Validation", epoch, n_val, tcfg.print_freq, log)
         references, hypotheses = [], []
         it = loader_lib.prefetch_to_device(loader_lib.iterate(
-            val_ds, tcfg.batch_size, **proc), sharding=batch_shard)
+            val_it_ds, tcfg.batch_size, with_index=val_cache is not None,
+            **proc), sharding=batch_shard)
         for i, batch in enumerate(it):
             printer.data_loaded()
             st = state_box["state"]
-            enc_out, tags = eval_encode_fn(st, batch)
+            if val_cache is not None:
+                enc_out, tags = cached_encode(val_cache, batch)
+            else:
+                enc_out, tags = eval_encode_fn(st, batch)
             m = eval_step(st["params"], enc_out, tags, batch["captions"],
                           batch["caplens"])
             n_tok = int(m["n_tokens"])

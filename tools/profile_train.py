@@ -31,6 +31,13 @@ def main():
                          "(bfloat16 default; float32 = parity mode)")
     ap.add_argument("--vocab", type=int, default=6763)
     ap.add_argument("--iters", type=int, default=10)
+    ap.add_argument("--decoder-dtype", default=None,
+                    help="override TrainConfig.decoder_dtype")
+    ap.add_argument("--cached", action="store_true",
+                    help="steady-state epoch with the frozen-feature cache "
+                         "(train/feature_cache.py): an HBM gather of the "
+                         "batch's feature/tag rows replaces both ResNet-152 "
+                         "forwards")
     args = ap.parse_args()
 
     from indonesian_image_captioning_tpu.core import runtime
@@ -53,6 +60,8 @@ def main():
     for B in (int(b) for b in args.batches.split(",")):
         kw = ({"encoder_dtype": args.encoder_dtype}
               if args.encoder_dtype else {})
+        if args.decoder_dtype:
+            kw["decoder_dtype"] = args.decoder_dtype
         tcfg = TrainConfig(batch_size=B, **kw)
         encode_fn, step = steps.make_caption_train_step(
             cfg, tcfg, opt, donate=False)
@@ -64,10 +73,32 @@ def main():
         key = jax.random.key(1)
         sub = {"params": state["params"], "opt_state": state["opt_state"]}
 
-        def full_batch():
-            enc_out, tags = encode_fn(state, batch)   # device-resident
-            _, metrics = step(sub, enc_out, tags, caps, caplens, key)
-            return float(jax.device_get(metrics["loss"]))  # scalar sync
+        if args.cached:
+            # steady-state cached epoch: feature rows come from an
+            # HBM-resident cache of N unique images (gathered by caption
+            # index, cpi=5), never from the encoders
+            import jax.numpy as jnp
+            from indonesian_image_captioning_tpu.train.feature_cache import (
+                FeatureCache)
+            n_img = max(2 * B // 5, 1)
+            feats = (jax.random.normal(
+                jax.random.key(2),
+                (n_img, cfg.enc_image_size, cfg.enc_image_size,
+                 cfg.encoder_dim)) * 0.1).astype(jnp.float32)
+            ftags = jax.random.uniform(jax.random.key(3), (n_img, 1000))
+            cache = FeatureCache(feats, ftags, cpi=5, on_device=True)
+            idx_dev = jax.device_put(rng.integers(
+                0, n_img * 5, (B,)).astype(np.int32))
+
+            def full_batch():
+                enc_out, tags = cache.lookup(idx_dev)
+                _, metrics = step(sub, enc_out, tags, caps, caplens, key)
+                return float(jax.device_get(metrics["loss"]))
+        else:
+            def full_batch():
+                enc_out, tags = encode_fn(state, batch)  # device-resident
+                _, metrics = step(sub, enc_out, tags, caps, caplens, key)
+                return float(jax.device_get(metrics["loss"]))  # scalar sync
 
         full_batch()  # compile + warm
         t0 = time.time()
