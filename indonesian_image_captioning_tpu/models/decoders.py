@@ -179,7 +179,7 @@ def teacher_forcing(params, cfg: ModelConfig, enc, tags, caps,
 
     def step(carry, xs):
         h, c = carry
-        t, key = xs
+        (t,) = xs
         if cfg.uses_attention:
             awe, alpha = attn.attend(
                 params["attention"], enc_flat, enc_att, h)
@@ -194,17 +194,12 @@ def teacher_forcing(params, cfg: ModelConfig, enc, tags, caps,
         else:
             alpha = None
             h, c = scn_cell.scn_step(cell, x_fac_all[:, t], sem_x, sem_h, h, c)
-        h_drop = dropout(key, h, drop, deterministic=not train)
-        preds = linear(params["fc"], h_drop)            # (B, V)
-        out = (preds, alpha) if alpha is not None else (preds,)
+        out = (h, alpha) if alpha is not None else (h,)
         return (h, c), out
 
-    if dropout_rng is None:
-        dropout_rng = jax.random.key(0)
-    step_keys = jax.random.split(dropout_rng, T)
     ts = jnp.arange(T)
     # Rematerialisation: save each step's matmul OUTPUTS (dec/awe/gate
-    # pre-activations/logits — ~B*(A+P+E+8D+V) per step) but recompute the
+    # pre-activations — ~B*(A+P+E+8D) per step) but recompute the
     # elementwise intermediates in the backward pass.  Without this the
     # scan's residuals include the (B, P, A) relu(enc_att + dec) tensor of
     # every step — f32[51, 512, 196, 512] = 9.96 GB at batch 512, an HBM
@@ -212,10 +207,19 @@ def teacher_forcing(params, cfg: ModelConfig, enc, tags, caps,
     # measured within noise of the unchecked step at batch 256.
     step = jax.checkpoint(
         step, policy=jax.checkpoint_policies.checkpoint_dots)
-    (_, _), outs = jax.lax.scan(step, (h, c), (ts, step_keys))
+    (_, _), outs = jax.lax.scan(step, (h, c), (ts,))
 
-    predictions = jnp.swapaxes(outs[0], 0, 1)           # (B, T, V)
+    h_all = jnp.swapaxes(outs[0], 0, 1)                 # (B, T, D)
     alphas = jnp.swapaxes(outs[1], 0, 1) if cfg.uses_attention else None
+
+    # The vocab head runs OUTSIDE the scan on the stacked hidden states:
+    # one (B*T, D) x (D, V) MXU matmul instead of T row-blocks, and the
+    # prerequisite for the fused training-scan kernel (ops/train_pallas),
+    # which returns h_all without ever materialising per-step logits.
+    if dropout_rng is None:
+        dropout_rng = jax.random.key(0)
+    h_drop = dropout(dropout_rng, h_all, drop, deterministic=not train)
+    predictions = linear(params["fc"], h_drop)          # (B, T, V)
 
     # decode_lengths = caplens - 1 (attention_scn.py:131); mask[t] = t < len-1
     mask = (ts[None, :] < (caplens[:, None] - 1)).astype(predictions.dtype)
