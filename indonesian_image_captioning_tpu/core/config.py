@@ -173,6 +173,24 @@ class ModelConfig:
     # the steps engine 4089).  Kept for HBM-capacity-constrained serving
     # (half-size encoder state); eval paths keep full precision.
     enc_quant: str = "none"               # "none" | "int8"
+    # Teacher-forcing scan implementation for training/eval forwards:
+    #   "xla"   — masked lax.scan with jax.checkpoint(checkpoint_dots)
+    #             rematerialisation (models/decoders.teacher_forcing).
+    #   "fused" — the fused training-scan kernel pair (ops/train_pallas.py,
+    #             a jax.custom_vjp): grid (image chunks, time spans) with
+    #             spans innermost, so the enc/enc_att windows stay
+    #             VMEM-resident across the WHOLE scan of a chunk — the
+    #             forward and backward each read the ~1 GB encoder state
+    #             once per chunk instead of once per step (the measured
+    #             DMA floor of the XLA scan).  attention_scn only;
+    #             gradients match XLA within float reassociation
+    #             (tests/test_train_fused.py); no d_enc cotangent, so the
+    #             fine-tune-encoder path (teacher_forcing(enc_grad=True))
+    #             always keeps XLA.
+    #   "auto"  — "fused" on TPU where eligible, else "xla".
+    train_scan_impl: str = "xla"
+    # Steps per time-span block of the fused training scan.
+    train_span: int = 4
 
     @property
     def num_pixels(self) -> int:

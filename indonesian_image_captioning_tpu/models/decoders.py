@@ -137,9 +137,28 @@ def _gate_factor(y):
     return y.reshape(*y.shape[:-1], 4, y.shape[-1] // 4)
 
 
+def resolve_train_scan_impl(cfg: ModelConfig, batch: int, dtype,
+                            enc_grad: bool) -> str:
+    """Resolve cfg.train_scan_impl ("auto" -> "fused" on TPU where the
+    fused kernel pair is eligible, else "xla").  enc_grad=True (the
+    fine-tune-encoder path) always forces XLA: the fused backward does
+    not produce a d_enc cotangent."""
+    impl = cfg.train_scan_impl
+    if enc_grad:
+        return "xla"
+    if impl == "auto":
+        from ..ops import train_pallas
+        if (jax.default_backend() != "cpu"
+                and train_pallas.feasible(cfg, batch, dtype,
+                                          span=cfg.train_span)):
+            return "fused"
+        return "xla"
+    return impl
+
+
 def teacher_forcing(params, cfg: ModelConfig, enc, tags, caps,
                     caplens, *, dropout_rng: Optional[jax.Array] = None,
-                    train: bool = False):
+                    train: bool = False, enc_grad: bool = False):
     """Teacher-forced forward over the whole caption batch.
 
     enc:     (B, H, W, E) or (B, P, E) encoder output
@@ -160,9 +179,19 @@ def teacher_forcing(params, cfg: ModelConfig, enc, tags, caps,
     is_scn = cfg.model_type in SCN_BASED_MODELS
     T = cfg.max_caption_len - 1
     enc_flat = flatten_encoding(enc, cfg.encoder_dim)
+    emb = embed_lookup(params["embedding"], caps[:, :T])  # (B, T, Emb)
+    ts = jnp.arange(T)
+
+    impl = resolve_train_scan_impl(cfg, enc_flat.shape[0], enc_flat.dtype,
+                                   enc_grad)
+    if impl == "fused":
+        from ..ops import train_pallas
+        h_all, alphas = train_pallas.fused_teacher_forcing_scan(
+            params, cfg, enc_flat, tags, emb, span=cfg.train_span)
+        return _head_and_mask(params, cfg, h_all, alphas, ts, caplens,
+                              dropout_rng, train)
 
     h, c = init_hidden_state(params, enc_flat)
-    emb = embed_lookup(params["embedding"], caps[:, :T])  # (B, T, Emb)
 
     # Hoisted loop invariants.
     if is_scn:
@@ -197,7 +226,6 @@ def teacher_forcing(params, cfg: ModelConfig, enc, tags, caps,
         out = (h, alpha) if alpha is not None else (h,)
         return (h, c), out
 
-    ts = jnp.arange(T)
     # Rematerialisation: save each step's matmul OUTPUTS (dec/awe/gate
     # pre-activations — ~B*(A+P+E+8D) per step) but recompute the
     # elementwise intermediates in the backward pass.  Without this the
@@ -211,11 +239,17 @@ def teacher_forcing(params, cfg: ModelConfig, enc, tags, caps,
 
     h_all = jnp.swapaxes(outs[0], 0, 1)                 # (B, T, D)
     alphas = jnp.swapaxes(outs[1], 0, 1) if cfg.uses_attention else None
+    return _head_and_mask(params, cfg, h_all, alphas, ts, caplens,
+                          dropout_rng, train)
 
+
+def _head_and_mask(params, cfg: ModelConfig, h_all, alphas, ts, caplens,
+                   dropout_rng, train: bool):
     # The vocab head runs OUTSIDE the scan on the stacked hidden states:
-    # one (B*T, D) x (D, V) MXU matmul instead of T row-blocks, and the
-    # prerequisite for the fused training-scan kernel (ops/train_pallas),
-    # which returns h_all without ever materialising per-step logits.
+    # one (B*T, D) x (D, V) MXU matmul instead of T row-blocks, which is
+    # also what lets the fused training-scan kernel (ops/train_pallas)
+    # return h_all without ever materialising per-step logits.
+    drop = cfg.dropout if train else 0.0
     if dropout_rng is None:
         dropout_rng = jax.random.key(0)
     h_drop = dropout(dropout_rng, h_all, drop, deterministic=not train)

@@ -1,0 +1,741 @@
+"""Fused teacher-forcing SCAN kernels: the training-time analogue of the
+span decode kernel (ops/span_pallas.py).
+
+Why: the caption train step at batch 1024 spends ~80 ms in the forward
+scan and ~130 ms in its backward — and a device trace shows both are
+DMA-bound on the per-step re-read of the loop-invariant encoder state
+(enc (B, P, E) + enc_att (B, P, A) ~= 1 GB at bench dims), exactly the
+ceiling the decode kernels broke for inference.  XLA cannot hoist the
+read out of ``lax.scan``: attention contracts fresh alphas against enc
+every step.
+
+Schedule: ONE pallas_call with grid (image chunks, time spans), spans
+INNERMOST.  The enc/enc_att windows' block index depends only on the
+chunk, so Mosaic keeps them VMEM-resident across every span of a chunk —
+the whole scan reads the encoder state ONCE per chunk (the megakernel's
+residency win) while the (h_all, c_all, alphas, emb_fac) slices stream
+per span (the span kernel's pipelining win), and chunk i+1's windows
+prefetch during chunk i's compute.  The (h, c) carry lives in VMEM
+scratch, re-initialised per chunk; T is padded to a span multiple and
+the padded steps' outputs are sliced off (their gradients are exact
+zeros).
+
+The pair is wired as one ``jax.custom_vjp``:
+
+* forward kernel -> (h_all, c_all, alphas); residuals are exactly those
+  three tensors (everything else is recomputed in-kernel from them —
+  the ``jax.checkpoint(checkpoint_dots)`` policy of the XLA path, taken
+  to its limit).
+* backward kernel walks the spans in REVERSE over the same
+  chunk-resident windows, recomputes each step's intermediates from
+  (h_prev, c_prev, alpha), and emits: the (dh, dc) chain, per-step
+  d_emb_fac, the d_enc_att accumulation (kept f32 across all T steps in
+  the chunk-resident output block), and every weight gradient
+  accumulated f32 in constant-index output blocks.  d_enc is NOT
+  produced (the frozen-encoder trainers stop_gradient enc;
+  ``teacher_forcing(..., enc_grad=True)`` — the fine-tune path — keeps
+  the XLA scan).
+
+Reference semantics being trained (not ported): the length-sorted
+shrinking-batch loop of /root/reference/models/decoders/attention_scn.py:95-158
+with models/attention.py:6-44 and models/scn_cell.py:52-154 inside —
+here a fixed-shape masked scan, bit-compatible with models/decoders.py
+teacher_forcing up to float reassociation (see tests/test_train_fused.py
+for the tolerance-based parity contract, forward AND gradients).
+
+The full_att bias is omitted from the in-kernel score like the decode
+kernels: softmax is shift-invariant, so alphas are identical and the
+bias's gradient is exactly zero in the math (the kernel reports 0; XLA
+reports the same up to roundoff).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .attention_pallas import _VMEM_LIMIT, _round_up
+
+
+def _params2d():
+    # both grid dims are sequential (spans carry state; chunks accumulate
+    # into shared weight-grad blocks)
+    return pltpu.CompilerParams(
+        dimension_semantics=("arbitrary", "arbitrary"),
+        vmem_limit_bytes=_VMEM_LIMIT)
+
+# Separate budgets: the forward's big window tiles double-buffer and its
+# e-tensor keeps extra live generations the estimate can't see (a G=32
+# bf16 forward estimated ~101 MB compiled to 120.95 MB scoped), so its
+# picker works against a tighter ceiling; the backward estimate tracked
+# its compiles within a few MB.
+_VMEM_BUDGET_FWD = 96 * 1024 * 1024
+_VMEM_BUDGET_BWD = 112 * 1024 * 1024
+
+
+def _weights_bytes(*, E, A, D, F4, H, isz):
+    # wda, bda, wf(f32), wfb, bfb, wxa, wh, wxp, whp, bx, bh
+    return (D * A + A + D * E + E + E * F4 + D * F4
+            + 2 * F4 * H + 8 * H) * isz + A * 4
+
+
+def _estimate_fwd_vmem(G, S, *, Pp, E, A, D, F4, isz):
+    H = D
+    win = 2 * G * Pp * (E + A) * isz                   # chunk-resident + next
+    streams = 2 * G * S * (F4 + 2 * D + Pp) * isz      # emb_fac in, h/c/al out
+    rows = 2 * G * (2 * D + 2 * F4) * isz              # h0/c0/semx/semh
+    scratch = 2 * G * D * isz
+    e_tmp = 2 * G * Pp * A * isz + G * Pp * 4          # e generations + att
+    return win + streams + rows + scratch + e_tmp + _weights_bytes(
+        E=E, A=A, D=D, F4=F4, H=H, isz=isz)
+
+
+def _estimate_bwd_vmem(G, S, *, Pp, E, A, D, F4, isz):
+    H = D
+    win = 2 * G * Pp * (E + A) * isz
+    # h_prev/c_prev/c_all/alphas/emb_fac/d_hall/d_alphas in, d_emb out
+    streams = 2 * G * S * (4 * D + 2 * Pp + 2 * F4) * isz
+    rows = 2 * G * (2 * D + 2 * F4) * isz
+    d_ea = 2 * G * Pp * A * 4                          # f32 chunk-resident
+    grads = (_weights_bytes(E=E, A=A, D=D, F4=F4, H=H, isz=4)
+             + G * (2 * D + 2 * F4) * 4 * 2)           # + dsem/dh0 blocks
+    scratch = 4 * G * D * 4
+    e_tmp = 2 * G * Pp * A * (isz + 4) + 2 * G * Pp * 4
+    return win + streams + rows + d_ea + grads + scratch + e_tmp \
+        + _weights_bytes(E=E, A=A, D=D, F4=F4, H=H, isz=isz)
+
+
+def _budget(backward: bool) -> int:
+    import os
+    env = os.environ.get("IIC_TRAIN_BWD_VMEM" if backward
+                         else "IIC_TRAIN_FWD_VMEM")
+    if env:
+        return int(env) * 1024 * 1024
+    return _VMEM_BUDGET_BWD if backward else _VMEM_BUDGET_FWD
+
+
+def pick_train_tile(B: int, S: int, *, dims, backward: bool,
+                    img_tile: int = 32):
+    """Largest G <= img_tile dividing B whose estimated scoped VMEM fits
+    (multiples of 8 preferred for sublane-aligned rows), or None (callers
+    fall back to XLA).  Per-image blocks ride as (B, 1, d) / (B, Pp, d)
+    3-D layouts, so G itself is not sublane-constrained."""
+    est = _estimate_bwd_vmem if backward else _estimate_fwd_vmem
+    budget = _budget(backward)
+    candidates = [G for G in range(min(img_tile, B), 0, -1) if B % G == 0]
+    for G in ([g for g in candidates if g % 8 == 0]
+              + [g for g in candidates if g % 8]):
+        if est(G, S, **dims) <= budget:
+            return G
+    return None
+
+
+def _dot(a, b, dims):
+    return jax.lax.dot_general(a, b, (dims, ((), ())),
+                               preferred_element_type=jnp.float32)
+
+
+def _mm(a, b):
+    """(M, K) @ (K, N)."""
+    return _dot(a, b, ((1,), (0,)))
+
+
+def _make_fwd_kernel(*, names, G, S, Pp, P, E, A, D, F, H, F4, dt):
+    def sig(x):  # f32 transcendentals (Mosaic bf16 logistic bug workaround)
+        return jax.nn.sigmoid(x.astype(jnp.float32)).astype(dt)
+
+    def tnh(x):
+        return jnp.tanh(x.astype(jnp.float32)).astype(dt)
+
+    def kernel(*refs):
+        r = dict(zip(names, refs))
+        s_id = pl.program_id(1)
+
+        @pl.when(s_id == 0)
+        def _():
+            r["h_scr"][:] = r["h0"][:, 0, :]
+            r["c_scr"][:] = r["c0"][:, 0, :]
+
+        h = r["h_scr"][:]
+        c = r["c_scr"][:]
+        ea = r["ea"][:]                                  # (G, Pp, A)
+        enc = r["enc"][:]                                # (G, Pp, E)
+        semx = r["semx"][:, 0, :]
+        semh = r["semh"][:, 0, :]
+        wf = r["wf"][:].astype(jnp.float32)              # (1, A)
+        prow = jax.lax.broadcasted_iota(jnp.int32, (G, Pp), 1)
+
+        for sub in range(S):
+            # ---- attention (models/attention.py:38-70, vectorised over
+            # the chunk; K=1 per image in training) ----
+            dec = (_mm(h, r["wda"][:]).astype(dt)
+                   + r["bda"][:].astype(dt))             # (G, A)
+            e = jnp.maximum(ea + dec[:, None, :], 0)     # (G, Pp, A)
+            # f32 ACCUMULATION without materialising an f32 copy of e
+            # (13.6 MB/generation at G=32): products round to dt, the
+            # reduce accumulates f32 — the bf16-mode XLA path rounds the
+            # same way (its score matmul runs in bf16).
+            att = jnp.sum(e * wf[None, :, :].astype(dt), axis=2,
+                          dtype=jnp.float32)
+            if P < Pp:
+                att = jnp.where(prow < P, att, float("-inf"))
+            mx = jnp.max(att, axis=1, keepdims=True)
+            ex = jnp.exp(att - mx)
+            alpha = ex / jnp.sum(ex, axis=1, keepdims=True)  # (G, Pp) f32
+            r["alphas"][:, 0, sub, :] = alpha        # f32 ref
+            # batched contraction (G, Pp) x (G, Pp, E) -> (G, E)
+            # rank-change BEFORE the dt cast: bf16 reshapes at the
+            # lane-unaligned Pp width fail Mosaic layout inference
+            awe_raw = jax.lax.dot_general(
+                alpha[:, None, :].astype(dt), enc,
+                (((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32)[:, 0, :].astype(dt)
+            gate = sig(_mm(h, r["wfb"][:]).astype(dt) + r["bfb"][:].astype(dt))
+            awe = gate * awe_raw                         # (G, E)
+
+            # ---- SCN recurrence (models/scn_cell.scn_step) ----
+            xin = (r["emb_fac"][:, 0, sub, :]
+                   + _mm(awe, r["wxa"][:]).astype(dt))   # (G, F4)
+            xfac = xin * semx
+            hfac = _mm(h, r["wh"][:]).astype(dt) * semh
+            pre = []
+            for g4 in range(4):
+                sl = slice(g4 * F, (g4 + 1) * F)
+                slh = slice(g4 * H, (g4 + 1) * H)
+                xg = _mm(xfac[:, sl], r["wxp"][sl, :]) \
+                    + r["bx"][:, slh].astype(jnp.float32)
+                hg = _mm(hfac[:, sl], r["whp"][sl, :]) \
+                    + r["bh"][:, slh].astype(jnp.float32)
+                pre.append((xg + hg).astype(dt))
+            i_g = sig(pre[0])
+            f_g = sig(pre[1])
+            o_g = sig(pre[2])
+            g_t = tnh(pre[3])
+            c = f_g * c + i_g * g_t
+            h = o_g * tnh(c)
+            r["h_all"][:, 0, sub, :] = h
+            r["c_all"][:, 0, sub, :] = c
+
+        r["h_scr"][:] = h
+        r["c_scr"][:] = c
+
+    return kernel
+
+
+def _make_bwd_kernel(*, names, G, S, n_spans, Pp, P, E, A, D, F, H,
+                     F4, dt, ablate=None):
+    f32 = jnp.float32
+
+    def sigf(x):
+        return jax.nn.sigmoid(x.astype(f32))
+
+    def tnhf(x):
+        return jnp.tanh(x.astype(f32))
+
+    def kernel(*refs):
+        r = dict(zip(names, refs))
+        b_id = pl.program_id(0)
+        s_id = pl.program_id(1)                      # 0 = LAST span (reverse)
+
+        @pl.when(s_id == 0)
+        def _():
+            r["dh_scr"][:] = jnp.zeros_like(r["dh_scr"])
+            r["dc_scr"][:] = jnp.zeros_like(r["dc_scr"])
+            r["d_ea"][:] = jnp.zeros_like(r["d_ea"])
+            r["d_semx"][:] = jnp.zeros_like(r["d_semx"])
+            r["d_semh"][:] = jnp.zeros_like(r["d_semh"])
+
+        @pl.when(jnp.logical_and(b_id == 0, s_id == 0))
+        def _():
+            for nm in _GRAD_NAMES:
+                r["d_" + nm][:] = jnp.zeros_like(r["d_" + nm])
+
+        dh = r["dh_scr"][:]                              # (G, D) f32
+        dc = r["dc_scr"][:]
+        ea = r["ea"][:]
+        enc = r["enc"][:]
+        semx = r["semx"][:, 0, :].astype(f32)
+        semh = r["semh"][:, 0, :].astype(f32)
+        wf = r["wf"][:].astype(f32)                      # (1, A)
+        prow3 = jax.lax.broadcasted_iota(jnp.int32, (G, Pp, 1), 1)
+
+        # Weight gradients accumulate DIRECTLY into the constant-index
+        # output refs (zeroed above at the first grid step): an SSA acc
+        # dict would keep a second ~35 MB f32 generation of every weight
+        # shape live across the unrolled span — the flagship f32 backward
+        # measured 162 MB scoped VMEM that way, 34 MB over the chip.
+        def add(name, contribution, idx=slice(None)):
+            r["d_" + name][idx] = r["d_" + name][idx] + contribution
+
+        d_semx_acc = jnp.zeros((G, F4), f32)
+        d_semh_acc = jnp.zeros((G, F4), f32)
+        d_ea_acc = jnp.zeros((G, Pp, A), f32)
+        # Per-step row factors, stacked after the span loop so every big
+        # weight gradient is ONE (S*G)-row matmul + ONE accumulator add
+        # per grid step.  Accumulating (E, F4)-sized outer products into
+        # the refs per STEP costs ~70 MB of VMEM read+write each — across
+        # 6,656 (chunk, span, sub) sites that alone was ~120 ms, the
+        # whole reason the first backward measured 244 ms.
+        rows = {k: [] for k in ("hprev", "dpre", "xfac", "hfac", "dhfr",
+                                "dxin", "awe", "dfb", "ddec")}
+
+        for sub in reversed(range(S)):
+            h_prev = r["h_prev"][:, 0, sub, :]              # (G, D) dt
+            c_prev = r["c_prev"][:, 0, sub, :]
+            c_t = r["c_all"][:, 0, sub, :]
+            alpha = r["alphas"][:, 0, sub, :].astype(f32)   # (G, Pp)
+            emb_fac = r["emb_fac"][:, 0, sub, :]
+
+            # ---- recompute the step (forward kernel order) ----
+            dec = (_mm(h_prev, r["wda"][:]).astype(dt)
+                   + r["bda"][:].astype(dt))
+            e = jnp.maximum(ea + dec[:, None, :], 0)     # (G, Pp, A) dt
+            awe_raw = jax.lax.dot_general(
+                alpha[:, None, :].astype(dt), enc,
+                (((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=f32)[:, 0, :].astype(dt)
+            gate_pre = _mm(h_prev, r["wfb"][:]) \
+                + r["bfb"][:].astype(f32)                # (G, E) f32
+            gate = sigf(gate_pre)
+            awe = gate.astype(dt) * awe_raw
+            xin = (emb_fac + _mm(awe, r["wxa"][:]).astype(dt))
+            xfac = xin.astype(f32) * semx                # (G, F4) f32
+            hfac_raw = _mm(h_prev, r["wh"][:])           # (G, F4) f32
+            hfac = hfac_raw * semh
+            pre = []
+            for g4 in range(4):
+                sl = slice(g4 * F, (g4 + 1) * F)
+                slh = slice(g4 * H, (g4 + 1) * H)
+                xg = _mm(xfac[:, sl].astype(dt), r["wxp"][sl, :]) \
+                    + r["bx"][:, slh].astype(f32)
+                hg = _mm(hfac[:, sl].astype(dt), r["whp"][sl, :]) \
+                    + r["bh"][:, slh].astype(f32)
+                pre.append(xg + hg)                      # (G, H) f32
+            i_g = sigf(pre[0])
+            f_g = sigf(pre[1])
+            o_g = sigf(pre[2])
+            g_t = tnhf(pre[3])
+            tc = tnhf(c_t)
+
+            # ---- cell backward ----
+            dh_t = dh + r["d_hall"][:, 0, sub, :].astype(f32)
+            d_o = dh_t * tc * o_g * (1.0 - o_g)
+            dc_t = dc + dh_t * o_g * (1.0 - tc * tc)
+            d_f = dc_t * c_prev.astype(f32) * f_g * (1.0 - f_g)
+            d_i = dc_t * g_t * i_g * (1.0 - i_g)
+            d_g = dc_t * i_g * (1.0 - g_t * g_t)
+            dc = dc_t * f_g
+            d_pre = [d_i, d_f, d_o, d_g]                 # gate order i,f,o,c
+
+            dh_new = jnp.zeros((G, D), f32)
+            d_xfac = []
+            d_hfac = []
+            for g4 in range(4):
+                sl = slice(g4 * F, (g4 + 1) * F)
+                dp = d_pre[g4].astype(dt)                # (G, H)
+                d_xfac.append(_dot(dp, r["wxp"][sl, :], ((1,), (1,))))
+                d_hfac.append(_dot(dp, r["whp"][sl, :], ((1,), (1,))))
+            d_xfac = jnp.concatenate(d_xfac, axis=1)     # (G, F4) f32
+            d_hfac = jnp.concatenate(d_hfac, axis=1)
+            rows["dpre"].append(jnp.concatenate(d_pre, axis=1).astype(dt))
+            rows["hprev"].append(h_prev)
+            rows["xfac"].append(xfac.astype(dt))
+            rows["hfac"].append(hfac.astype(dt))
+
+            d_hfac_raw = d_hfac * semh
+            d_semh_acc = d_semh_acc + d_hfac * hfac_raw
+            rows["dhfr"].append(d_hfac_raw.astype(dt))
+            dh_new = dh_new + _dot(d_hfac_raw.astype(dt), r["wh"][:],
+                                   ((1,), (1,)))
+
+            d_xin = d_xfac * semx                        # (G, F4) f32
+            d_semx_acc = d_semx_acc + d_xfac * xin.astype(f32)
+            r["d_emb"][:, 0, sub, :] = d_xin.astype(dt)
+            rows["dxin"].append(d_xin.astype(dt))
+            rows["awe"].append(awe)
+            d_awe = _dot(d_xin.astype(dt), r["wxa"][:], ((1,), (1,)))
+
+            # ---- f_beta gate backward ----
+            d_gate = d_awe * awe_raw.astype(f32)         # (G, E)
+            d_awe_raw = d_awe * gate
+            d_fb_pre = d_gate * gate * (1.0 - gate)
+            rows["dfb"].append(d_fb_pre.astype(dt))
+            dh_new = dh_new + _dot(d_fb_pre.astype(dt), r["wfb"][:],
+                                   ((1,), (1,)))
+
+            # ---- attention backward ----
+            if ablate == "noatt":
+                d_dec = jnp.zeros((G, A), dt)
+                rows["ddec"].append(d_dec)
+                dh = dh_new + _dot(d_dec, r["wda"][:], ((1,), (1,)))
+                continue
+            # minor-dim insert on the f32 value, THEN cast (bf16
+            # minor-dim inserts are unsupported by Mosaic)
+            d_alpha = jax.lax.dot_general(
+                enc, d_awe_raw[:, :, None].astype(dt),
+                (((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=f32)[:, :, 0]     # (G, Pp)
+            d_alpha = d_alpha + r["d_alphas"][:, 0, sub, :].astype(f32)
+            inner = jnp.sum(d_alpha * alpha, axis=1, keepdims=True)
+            d_att = alpha * (d_alpha - inner)            # (G, Pp) f32
+            # bf16 vector comparisons are unsupported on this target —
+            # the relu mask compares in f32
+            d_e = (d_att[:, :, None] * wf[None, :, :]
+                   * (e.astype(f32) > 0.0).astype(f32))  # (G, Pp, A) f32
+            if P < Pp:
+                d_e = jnp.where(prow3 < P, d_e, 0.0)
+            d_ea_acc = d_ea_acc + d_e
+            # Pp-reduces of (G, Pp, A) via batched dots (a plain
+            # sum(axis=1) hits a Mosaic relayout bug on the (G, A) result)
+            d_att3 = d_att[:, :, None].astype(dt)        # (G, Pp, 1)
+            add("wf", jnp.sum(jax.lax.dot_general(
+                d_att3, e, (((1,), (1,)), ((0,), (0,))),
+                preferred_element_type=f32), axis=0))    # (1, A) f32
+            ones_p = jnp.ones((G, 1, Pp), dt)
+            d_dec = jax.lax.dot_general(
+                ones_p, d_e.astype(dt), (((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=f32)[:, 0, :].astype(dt)  # (G, A)
+            rows["ddec"].append(d_dec)
+            dh_new = dh_new + _dot(d_dec, r["wda"][:], ((1,), (1,)))
+            dh = dh_new
+
+        # ---- per-span weight gradients: one stacked (S*G)-row matmul
+        # each, one accumulator add per grid step ----
+        st = {k: jnp.concatenate(v, axis=0) for k, v in rows.items()}
+        if ablate == "nograd":
+            st = None
+        for g4 in range(4) if st is not None else ():
+            sl = slice(g4 * F, (g4 + 1) * F)
+            slh = slice(g4 * H, (g4 + 1) * H)
+            add("wxp", _dot(st["xfac"][:, sl], st["dpre"][:, slh],
+                            ((0,), (0,))), (sl, slice(None)))
+            add("whp", _dot(st["hfac"][:, sl], st["dpre"][:, slh],
+                            ((0,), (0,))), (sl, slice(None)))
+        if st is not None:
+            dpre_sum = jnp.sum(st["dpre"].astype(f32), axis=0,
+                               keepdims=True)
+            add("bx", dpre_sum)
+            add("bh", dpre_sum)
+            add("wh", _dot(st["hprev"], st["dhfr"], ((0,), (0,))))
+            add("wxa", _dot(st["awe"], st["dxin"], ((0,), (0,))))
+            add("wfb", _dot(st["hprev"], st["dfb"], ((0,), (0,))))
+            add("bfb", jnp.sum(st["dfb"].astype(f32), axis=0,
+                               keepdims=True))
+            add("wda", _dot(st["hprev"], st["ddec"], ((0,), (0,))))
+            add("bda", jnp.sum(st["ddec"].astype(f32), axis=0,
+                               keepdims=True))
+
+        r["d_semx"][:, 0, :] = r["d_semx"][:, 0, :] + d_semx_acc
+        r["d_semh"][:, 0, :] = r["d_semh"][:, 0, :] + d_semh_acc
+        r["d_ea"][:] = r["d_ea"][:] + d_ea_acc
+        r["dh_scr"][:] = dh
+        r["dc_scr"][:] = dc
+
+        @pl.when(s_id == n_spans - 1)
+        def _():
+            r["dh0"][:, 0, :] = dh
+            r["dc0"][:, 0, :] = dc
+
+    return kernel
+
+
+_WEIGHT_NAMES = ("wda", "bda", "wf", "wfb", "bfb", "wxa", "wh", "wxp",
+                 "whp", "bx", "bh")
+_GRAD_NAMES = _WEIGHT_NAMES
+
+
+def pack_train_weights(params, cfg, dt):
+    """Decoder params -> the kernel weight dict (differentiable ops only,
+    so autodiff maps the kernel's weight cotangents back onto the tree)."""
+    cell = params["decode_step"]
+    att = params["attention"]
+    A, E = cfg.attention_dim, cfg.encoder_dim
+    Emb, F, H = cfg.embed_dim, cfg.factored_dim, cfg.decoder_dim
+    return {
+        "wda": att["decoder_att"]["w"].astype(dt),
+        "bda": att["decoder_att"]["b"].reshape(1, A).astype(dt),
+        "wf": att["full_att"]["w"].astype(jnp.float32).reshape(1, A),
+        "wfb": params["f_beta"]["w"].astype(dt),
+        "bfb": params["f_beta"]["b"].reshape(1, E).astype(dt),
+        "wxa": cell["w_x"][Emb:].astype(dt),
+        "wh": cell["w_h"].astype(dt),
+        "wxp": cell["w_xp"].reshape(4 * F, H).astype(dt),
+        "whp": cell["w_hp"].reshape(4 * F, H).astype(dt),
+        "bx": cell["b_x"].reshape(1, 4 * H).astype(dt),
+        "bh": cell["b_h"].reshape(1, 4 * H).astype(dt),
+    }
+
+
+def _span_pad(T: int, span: int) -> int:
+    return -(-T // span) * span
+
+
+@functools.partial(jax.jit, static_argnames=("span", "num_pixels",
+                                             "img_tile", "interpret"))
+def _fwd_call(kw, enc_p, ea_p, emb_fac, semx, semh, h0, c0, *, span,
+              num_pixels, img_tile, interpret):
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    B, Pp, E = enc_p.shape
+    A = ea_p.shape[-1]
+    D = h0.shape[-1]
+    F4 = semx.shape[-1]
+    F, H = F4 // 4, D
+    Tp = emb_fac.shape[1]
+    S = span
+    n_spans = Tp // S
+    dt = h0.dtype
+    isz = jnp.dtype(dt).itemsize
+    G = pick_train_tile(B, S, dims=dict(Pp=Pp, E=E, A=A, D=D, F4=F4,
+                                        isz=isz), backward=False,
+                        img_tile=img_tile)
+    if G is None:
+        raise ValueError(f"no VMEM-feasible train tile for B={B}")
+
+    win = lambda d: pl.BlockSpec((G, Pp, d), lambda b, s: (b, 0, 0),
+                                 memory_space=pltpu.VMEM)
+    # time-sliced tensors ride as (B, n_spans, S, d) so the (S, d) block
+    # tail equals the array tail (Pallas TPU last-two-dims rule)
+    span4 = lambda d: pl.BlockSpec((G, 1, S, d),
+                                   lambda b, s: (b, s, 0, 0),
+                                   memory_space=pltpu.VMEM)
+    rows3 = lambda d: pl.BlockSpec((G, 1, d), lambda b, s: (b, 0, 0),
+                                   memory_space=pltpu.VMEM)
+    const = lambda *shape: pl.BlockSpec(
+        shape, lambda b, s: (0,) * len(shape), memory_space=pltpu.VMEM)
+
+    r3 = lambda x: x[:, None, :]
+    in_names = ["enc", "ea", "emb_fac", "semx", "semh", "h0", "c0"]
+    in_specs = [win(E), win(A), span4(F4), rows3(F4), rows3(F4),
+                rows3(D), rows3(D)]
+    inputs = [enc_p, ea_p, emb_fac.reshape(B, n_spans, S, F4),
+              r3(semx), r3(semh), r3(h0), r3(c0)]
+    for nm in _WEIGHT_NAMES:
+        in_names.append(nm)
+        in_specs.append(const(*kw[nm].shape))
+        inputs.append(kw[nm])
+
+    out_names = ["h_all", "c_all", "alphas"]
+    scratch_names = ["h_scr", "c_scr"]
+    kernel = _make_fwd_kernel(
+        names=tuple(in_names + out_names + scratch_names),
+        G=G, S=S, Pp=Pp, P=num_pixels, E=E, A=A, D=D, F=F, H=H, F4=F4,
+        dt=dt)
+    h_all, c_all, alphas = pl.pallas_call(
+        kernel,
+        grid=(B // G, n_spans),
+        in_specs=in_specs,
+        out_specs=(span4(D), span4(D), span4(Pp)),
+        # alphas ride f32: Pp is lane-unaligned (208 at flagship dims)
+        # and bf16 rank-changing stores at that width fail Mosaic layout
+        # inference; the extra bytes are the smallest stream here.
+        out_shape=(jax.ShapeDtypeStruct((B, n_spans, S, D), dt),
+                   jax.ShapeDtypeStruct((B, n_spans, S, D), dt),
+                   jax.ShapeDtypeStruct((B, n_spans, S, Pp),
+                                        jnp.float32)),
+        scratch_shapes=[pltpu.VMEM((G, D), dt), pltpu.VMEM((G, D), dt)],
+        interpret=interpret,
+        compiler_params=None if interpret else _params2d(),
+    )(*inputs)
+    return (h_all.reshape(B, Tp, D), c_all.reshape(B, Tp, D),
+            alphas.reshape(B, Tp, Pp))
+
+
+@functools.partial(jax.jit, static_argnames=("span", "num_pixels",
+                                             "img_tile", "interpret",
+                                             "ablate"))
+def _bwd_call(kw, enc_p, ea_p, emb_fac, semx, semh, h0, c0,
+              h_all, c_all, alphas, d_hall, d_alphas, *, span,
+              num_pixels, img_tile, interpret, ablate=None):
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    B, Pp, E = enc_p.shape
+    A = ea_p.shape[-1]
+    D = h0.shape[-1]
+    F4 = semx.shape[-1]
+    F, H = F4 // 4, D
+    Tp = emb_fac.shape[1]
+    S = span
+    n_spans = Tp // S
+    dt = h0.dtype
+    isz = jnp.dtype(dt).itemsize
+    G = pick_train_tile(B, S, dims=dict(Pp=Pp, E=E, A=A, D=D, F4=F4,
+                                        isz=isz), backward=True,
+                        img_tile=img_tile)
+    if G is None:
+        raise ValueError(f"no VMEM-feasible train tile for B={B}")
+
+    # previous-step states: h_prev[t] = h_{t-1} (h0 at t=0)
+    h_prev = jnp.concatenate([h0[:, None, :], h_all[:, :-1, :]], axis=1)
+    c_prev = jnp.concatenate([c0[:, None, :], c_all[:, :-1, :]], axis=1)
+
+    rev = n_spans - 1
+    win = lambda d: pl.BlockSpec((G, Pp, d), lambda b, s: (b, 0, 0),
+                                 memory_space=pltpu.VMEM)
+    span4r = lambda d: pl.BlockSpec((G, 1, S, d),
+                                    lambda b, s: (b, rev - s, 0, 0),
+                                    memory_space=pltpu.VMEM)
+    rows3 = lambda d: pl.BlockSpec((G, 1, d), lambda b, s: (b, 0, 0),
+                                   memory_space=pltpu.VMEM)
+    const = lambda *shape: pl.BlockSpec(
+        shape, lambda b, s: (0,) * len(shape), memory_space=pltpu.VMEM)
+
+    sp = lambda x, d: x.reshape(B, n_spans, S, d)
+    r3 = lambda x: x[:, None, :]
+    in_names = ["enc", "ea", "h_prev", "c_prev", "c_all", "alphas",
+                "emb_fac", "d_hall", "d_alphas", "semx", "semh"]
+    in_specs = [win(E), win(A), span4r(D), span4r(D), span4r(D),
+                span4r(Pp), span4r(F4), span4r(D), span4r(Pp),
+                rows3(F4), rows3(F4)]
+    inputs = [enc_p, ea_p, sp(h_prev, D), sp(c_prev, D), sp(c_all, D),
+              sp(alphas, Pp), sp(emb_fac, F4), sp(d_hall, D),
+              sp(d_alphas, Pp), r3(semx), r3(semh)]
+    for nm in _WEIGHT_NAMES:
+        in_names.append(nm)
+        in_specs.append(const(*kw[nm].shape))
+        inputs.append(kw[nm])
+
+    out_names = (["d_ea", "d_emb", "d_semx", "d_semh", "dh0", "dc0"]
+                 + ["d_" + nm for nm in _GRAD_NAMES])
+    out_specs = [win(A), span4r(F4), rows3(F4), rows3(F4), rows3(D),
+                 rows3(D)]
+    out_shape = [jax.ShapeDtypeStruct((B, Pp, A), jnp.float32),
+                 jax.ShapeDtypeStruct((B, n_spans, S, F4), dt),
+                 jax.ShapeDtypeStruct((B, 1, F4), jnp.float32),
+                 jax.ShapeDtypeStruct((B, 1, F4), jnp.float32),
+                 jax.ShapeDtypeStruct((B, 1, D), jnp.float32),
+                 jax.ShapeDtypeStruct((B, 1, D), jnp.float32)]
+    for nm in _GRAD_NAMES:
+        out_specs.append(const(*kw[nm].shape))
+        out_shape.append(jax.ShapeDtypeStruct(kw[nm].shape, jnp.float32))
+
+    scratch_names = ["dh_scr", "dc_scr"]
+    kernel = _make_bwd_kernel(
+        names=tuple(in_names + out_names + scratch_names),
+        G=G, S=S, n_spans=n_spans, Pp=Pp, P=num_pixels, E=E, A=A, D=D,
+        F=F, H=H, F4=F4, dt=dt, ablate=ablate)
+    outs = pl.pallas_call(
+        kernel,
+        grid=(B // G, n_spans),
+        in_specs=in_specs,
+        out_specs=tuple(out_specs),
+        out_shape=tuple(out_shape),
+        scratch_shapes=[pltpu.VMEM((G, D), jnp.float32),
+                        pltpu.VMEM((G, D), jnp.float32)],
+        interpret=interpret,
+        compiler_params=None if interpret else _params2d(),
+    )(*inputs)
+    d_ea, d_emb, d_semx, d_semh, dh0, dc0 = outs[:6]
+    d_kw = dict(zip(_GRAD_NAMES, outs[6:]))
+    return (d_ea, d_emb.reshape(B, Tp, F4), d_semx[:, 0], d_semh[:, 0],
+            dh0[:, 0], dc0[:, 0], d_kw)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _train_scan(static, kw, enc_p, ea_p, emb_fac, semx, semh, h0, c0):
+    """(h_all (B, T, D), alphas (B, T, P)); differentiable in everything
+    but enc_p (zero cotangent — frozen-encoder path only)."""
+    span, num_pixels, T, img_tile, interpret = static
+    h_all, _, alphas = _fwd_call(kw, enc_p, ea_p, emb_fac, semx, semh,
+                                 h0, c0, span=span, num_pixels=num_pixels,
+                                 img_tile=img_tile, interpret=interpret)
+    return h_all[:, :T], alphas[:, :T, :num_pixels].astype(h_all.dtype)
+
+
+def _train_scan_fwd(static, kw, enc_p, ea_p, emb_fac, semx, semh, h0, c0):
+    span, num_pixels, T, img_tile, interpret = static
+    h_all, c_all, alphas = _fwd_call(kw, enc_p, ea_p, emb_fac, semx, semh,
+                                     h0, c0, span=span,
+                                     num_pixels=num_pixels,
+                                     img_tile=img_tile, interpret=interpret)
+    res = (kw, enc_p, ea_p, emb_fac, semx, semh, h0, c0, h_all, c_all,
+           alphas)
+    return (h_all[:, :T],
+            alphas[:, :T, :num_pixels].astype(h_all.dtype)), res
+
+
+def _train_scan_bwd(static, res, cts):
+    span, num_pixels, T, img_tile, interpret = static
+    kw, enc_p, ea_p, emb_fac, semx, semh, h0, c0, h_all, c_all, alphas = res
+    d_hall_sl, d_alphas_sl = cts
+    B, Tp, D = h_all.shape
+    Pp = alphas.shape[-1]
+    dt = h_all.dtype
+    d_hall = jnp.zeros((B, Tp, D), dt).at[:, :T].set(d_hall_sl.astype(dt))
+    d_alphas = jnp.zeros((B, Tp, Pp), jnp.float32) \
+        .at[:, :T, :num_pixels].set(d_alphas_sl.astype(jnp.float32))
+    d_ea, d_emb, d_semx, d_semh, dh0, dc0, d_kw = _bwd_call(
+        kw, enc_p, ea_p, emb_fac, semx, semh, h0, c0, h_all, c_all,
+        alphas, d_hall, d_alphas, span=span, num_pixels=num_pixels,
+        img_tile=img_tile, interpret=interpret)
+    cast = lambda g, p: g.astype(p.dtype)
+    return (jax.tree.map(cast, d_kw, kw),
+            jnp.zeros_like(enc_p),                      # frozen encoder
+            cast(d_ea, ea_p),
+            cast(d_emb, emb_fac),
+            cast(d_semx, semx),
+            cast(d_semh, semh),
+            cast(dh0, h0),
+            cast(dc0, c0))
+
+
+_train_scan.defvjp(_train_scan_fwd, _train_scan_bwd)
+
+
+def feasible(cfg, B: int, dt, span: int = 4, img_tile: int = 32) -> bool:
+    """Whether the fused training scan supports this configuration."""
+    if cfg.model_type != "attention_scn":
+        return False
+    Pp = _round_up(cfg.num_pixels, 16)
+    dims = dict(Pp=Pp, E=cfg.encoder_dim, A=cfg.attention_dim,
+                D=cfg.decoder_dim, F4=4 * cfg.factored_dim,
+                isz=jnp.dtype(dt).itemsize)
+    return (pick_train_tile(B, span, dims=dims, backward=False,
+                            img_tile=img_tile) is not None
+            and pick_train_tile(B, span, dims=dims, backward=True,
+                                img_tile=img_tile) is not None)
+
+
+def fused_teacher_forcing_scan(params, cfg, enc_flat, tags, emb, *,
+                               span: int = 4, img_tile: int = 32,
+                               interpret=None):
+    """Run the teacher-forcing scan through the fused kernel pair.
+
+    enc_flat: (B, P, E); tags: (B, S); emb: (B, T, Emb) embedded inputs.
+    Returns (h_all (B, T, D), alphas (B, T, P)).  All surrounding ops
+    (embedding projection, semantic projections, attention precompute,
+    init state) stay in XLA so their parameter gradients flow through
+    ordinary autodiff; the custom VJP covers exactly the scan.
+    """
+    from ..models import attention as attn
+    from ..models import decoders, scn_cell
+    from .attention_pallas import pad_pixels
+
+    B, P, E = enc_flat.shape
+    T = emb.shape[1]
+    dt = enc_flat.dtype
+    F4 = 4 * cfg.factored_dim
+    cell = params["decode_step"]
+
+    enc_p = pad_pixels(enc_flat)
+    ea_p = pad_pixels(attn.precompute(params["attention"], enc_flat))
+    sx, sh = scn_cell.semantic_projections(cell, tags)
+    semx = sx.reshape(B, F4).astype(dt)
+    semh = sh.reshape(B, F4).astype(dt)
+    h0, c0 = decoders.init_hidden_state(params, enc_flat)
+    h0 = h0.astype(dt)
+    c0 = c0.astype(dt)
+    w_x_emb = cell["w_x"][: cfg.embed_dim]
+    Tp = _span_pad(T, span)
+    emb_fac = (emb @ w_x_emb).astype(dt)                 # (B, T, F4)
+    emb_fac = jnp.pad(emb_fac, ((0, 0), (0, Tp - T), (0, 0)))
+    kw = pack_train_weights(params, cfg, dt)
+    static = (span, P, T, img_tile,
+              interpret if interpret is not None
+              else jax.default_backend() == "cpu")
+    return _train_scan(static, kw, enc_p, ea_p, emb_fac, semx, semh,
+                       h0, c0)

@@ -34,6 +34,13 @@ def make_parallel_caption_train_step(cfg: ModelConfig, tcfg: TrainConfig,
                                      shard_vocab: bool = True):
     """Returns jitted step(substate, enc_out, tags, captions, caplens, rng)
     with DP batch sharding and optional TP vocab sharding."""
+    import dataclasses
+
+    # The fused training-scan kernel pair (ops/train_pallas.py) has no
+    # GSPMD partitioning rules — under this plain-jit SPMD path the
+    # decoder keeps the XLA scan; the fused kernels serve the
+    # single-chip trainers (where the batch lives on one chip anyway).
+    cfg = dataclasses.replace(cfg, train_scan_impl="xla")
     _, base = steps_lib.make_caption_train_step(cfg, tcfg, optimizer,
                                                 donate=False)
     substate_sh = _substate_sharding(mesh, substate_template, shard_vocab)

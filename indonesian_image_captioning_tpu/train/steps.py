@@ -240,9 +240,12 @@ def make_caption_finetune_train_step(
             enc_out, new_enc_stats = encoders.apply_encoder_caption(
                 enc_params, state["encoder_stats"], images, train=True,
                 enc_image_size=cfg.enc_image_size, arch=cfg.encoder_arch)
+            # enc_grad: this loss differentiates THROUGH enc_out into the
+            # encoder — the fused training scan emits no d_enc cotangent,
+            # so the fine-tune path must keep the XLA scan.
             out = decoders.teacher_forcing(
                 dec_params, cfg, enc_out, tags, captions, caplens,
-                dropout_rng=rng, train=True)
+                dropout_rng=rng, train=True, enc_grad=True)
             loss, aux = losses.caption_loss(out, captions, tcfg.alpha_c)
             top5 = losses.masked_topk_accuracy(
                 out["predictions"], captions[:, 1:], out["mask"], 5)

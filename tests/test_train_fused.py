@@ -1,0 +1,181 @@
+"""Fused training-scan kernel pair (ops/train_pallas.py) vs the XLA scan.
+
+Runs in Pallas interpret mode on the CPU conftest platform.  Contract
+(module docstring of ops/train_pallas.py): same math as
+models/decoders.teacher_forcing up to float reassociation — forward
+outputs match to ~1e-4 and every parameter gradient matches to a few
+1e-3 relative (the recurrence amplifies reassociation differences; the
+directional finite-difference self-consistency of the fused backward is
+checked in test_backward_self_consistent).
+
+Reference behaviour under test: the teacher-forced training forward of
+/root/reference/models/decoders/attention_scn.py:95-158.
+"""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import pytest
+
+from indonesian_image_captioning_tpu.core.config import ModelConfig
+from indonesian_image_captioning_tpu.models import decoders
+from indonesian_image_captioning_tpu.ops import losses, train_pallas
+
+B, P, T = 16, 9, 7
+SPAN = 4
+
+
+def make_cfg(**kw):
+    base = dict(model_type="attention_scn", vocab_size=50, embed_dim=24,
+                attention_dim=40, decoder_dim=32, factored_dim=16,
+                semantic_dim=10, encoder_dim=48, max_caption_len=T + 1,
+                train_span=SPAN)
+    base.update(kw)
+    return ModelConfig(**base)
+
+
+@pytest.fixture(scope="module")
+def setup():
+    cfg = make_cfg()
+    params = decoders.init_decoder(jax.random.key(0), cfg)
+    ks = jax.random.split(jax.random.key(1), 5)
+    enc = jax.random.normal(ks[0], (B, P, cfg.encoder_dim)) * 0.3
+    tags = jax.random.uniform(ks[1], (B, cfg.semantic_dim))
+    caps = jax.random.randint(ks[2], (B, cfg.max_caption_len), 1,
+                              cfg.vocab_size, jnp.int32)
+    caplens = jax.random.randint(ks[3], (B,), 2, cfg.max_caption_len + 1,
+                                 jnp.int32)
+    return cfg, params, enc, tags, caps, caplens
+
+
+def run(impl, setup, train=False):
+    cfg, params, enc, tags, caps, caplens = setup
+    cfg = dataclasses.replace(cfg, train_scan_impl=impl)
+    return decoders.teacher_forcing(params, cfg, enc, tags, caps, caplens,
+                                    dropout_rng=jax.random.key(9),
+                                    train=train)
+
+
+def test_forward_parity(setup):
+    ref = run("xla", setup)
+    fus = run("fused", setup)
+    assert fus["predictions"].shape == ref["predictions"].shape
+    assert fus["alphas"].shape == ref["alphas"].shape
+    assert jnp.abs(ref["mask"] - fus["mask"]).max() == 0
+    assert jnp.abs(ref["alphas"] - fus["alphas"]).max() < 1e-4
+    scale = jnp.abs(ref["predictions"]).max()
+    assert jnp.abs(ref["predictions"] - fus["predictions"]).max() \
+        < 1e-3 * scale
+    # each row's alphas sum to 1 at every valid step
+    assert jnp.abs(fus["alphas"].sum(-1) - 1.0).max() < 1e-5
+
+
+def test_forward_parity_train_mode_dropout(setup):
+    """Same dropout rng => same mask on both paths (dropout sits outside
+    the scan), so train-mode forwards also agree."""
+    ref = run("xla", setup, train=True)
+    fus = run("fused", setup, train=True)
+    scale = jnp.abs(ref["predictions"]).max()
+    assert jnp.abs(ref["predictions"] - fus["predictions"]).max() \
+        < 1e-3 * scale
+
+
+def loss_of(impl, setup):
+    cfg, params, enc, tags, caps, caplens = setup
+    cfg = dataclasses.replace(cfg, train_scan_impl=impl)
+
+    def fn(params):
+        out = decoders.teacher_forcing(
+            params, cfg, enc, tags, caps, caplens,
+            dropout_rng=jax.random.key(9), train=True)
+        loss, _ = losses.caption_loss(out, caps, alpha_c=1.0)
+        return loss
+
+    return fn
+
+
+def test_gradient_parity(setup):
+    _, params = setup[0], setup[1]
+    l_ref, g_ref = jax.value_and_grad(loss_of("xla", setup))(params)
+    l_fus, g_fus = jax.value_and_grad(loss_of("fused", setup))(params)
+    assert abs(float(l_ref - l_fus)) < 1e-4 * max(1.0, abs(float(l_ref)))
+    flat_r = jax.tree_util.tree_leaves_with_path(g_ref)
+    flat_f = jax.tree.leaves(g_fus)
+    for (path, gr), gf in zip(flat_r, flat_f):
+        name = jax.tree_util.keystr(path)
+        scale = float(jnp.abs(gr).max())
+        if scale < 1e-7:        # full_att bias: exactly-zero-in-math
+            continue
+        rel = float(jnp.abs(gr - gf).max()) / scale
+        assert rel < 5e-3, f"{name}: rel={rel}"
+
+
+def test_backward_directional_agreement(setup):
+    """<grad, u> must agree between the two backwards to ~1e-4 relative in
+    random directions: XLA autodiff is the true adjoint of a forward that
+    matches the kernel's to reassociation, so directional derivatives pin
+    the fused backward far tighter than per-leaf max comparisons (a raw
+    finite difference is useless here — the relu kinks give BOTH paths the
+    same O(1e-2) FD gap at f32, measured in tools/check_train_fused.py)."""
+    params = setup[1]
+    g_ref = jax.grad(loss_of("xla", setup))(params)
+    g_fus = jax.grad(loss_of("fused", setup))(params)
+    for seed in range(3):
+        u = jax.tree.map(
+            lambda p: jax.random.normal(
+                jax.random.fold_in(jax.random.key(7), seed),
+                p.shape, p.dtype), params)
+        ip_r = float(sum(jnp.sum(a * b) for a, b in
+                         zip(jax.tree.leaves(g_ref), jax.tree.leaves(u))))
+        ip_f = float(sum(jnp.sum(a * b) for a, b in
+                         zip(jax.tree.leaves(g_fus), jax.tree.leaves(u))))
+        assert abs(ip_r - ip_f) < 2e-4 * max(1.0, abs(ip_r)), (ip_r, ip_f)
+
+
+def test_span_padding_gradients_exact_zero_beyond_T(setup):
+    """T=7 pads to Tp=8 (span 4): the padded step must not leak into
+    values or gradients — compare span=4 (padded) against span=7 (no
+    padding) through the fused path."""
+    cfg, params, enc, tags, caps, caplens = setup
+    outs = {}
+    for span in (4, 7):
+        c = dataclasses.replace(cfg, train_scan_impl="fused",
+                                train_span=span)
+        out = decoders.teacher_forcing(params, c, enc, tags, caps,
+                                       caplens, train=False)
+        outs[span] = out["predictions"]
+    assert jnp.abs(outs[4] - outs[7]).max() < 1e-5
+
+
+def test_feasibility_gating():
+    assert not train_pallas.feasible(make_cfg(model_type="pure_attention"),
+                                     64, jnp.float32)
+    assert not train_pallas.feasible(make_cfg(model_type="pure_scn"),
+                                     64, jnp.float32)
+    assert train_pallas.feasible(make_cfg(), 64, jnp.float32)
+    # G is not sublane-constrained (3-D per-image blocks): any divisor
+    # of B whose VMEM estimate fits works, including odd batches
+    assert train_pallas.feasible(make_cfg(), 12, jnp.float32)
+    # auto on CPU resolves to xla; enc_grad forces xla even when fused
+    assert decoders.resolve_train_scan_impl(
+        make_cfg(), 64, jnp.float32, enc_grad=False) == "xla"
+    assert decoders.resolve_train_scan_impl(
+        make_cfg(train_scan_impl="fused"), 64, jnp.float32,
+        enc_grad=True) == "xla"
+
+
+def test_bfloat16_runs_and_is_close(setup):
+    cfg, params, enc, tags, caps, caplens = setup
+    cfg16 = dataclasses.replace(cfg, train_scan_impl="fused")
+    p16 = decoders.cast_params(params, jnp.bfloat16)
+    out = decoders.teacher_forcing(p16, cfg16, enc.astype(jnp.bfloat16),
+                                   tags.astype(jnp.bfloat16), caps,
+                                   caplens, train=False)
+    ref = run("xla", setup)
+    assert out["predictions"].dtype == jnp.bfloat16
+    assert bool(jnp.isfinite(
+        out["predictions"].astype(jnp.float32)).all())
+    scale = float(jnp.abs(ref["predictions"]).max())
+    assert float(jnp.abs(out["predictions"].astype(jnp.float32)
+                         - ref["predictions"]).max()) < 0.1 * scale
