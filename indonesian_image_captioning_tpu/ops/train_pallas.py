@@ -30,9 +30,15 @@ The pair is wired as one ``jax.custom_vjp``:
   chunk-resident windows, recomputes each step's intermediates from
   (h_prev, c_prev, alpha), and emits: the (dh, dc) chain, per-step
   d_emb_fac, the d_enc_att accumulation (kept f32 across all T steps in
-  the chunk-resident output block), and every weight gradient
-  accumulated f32 in constant-index output blocks.  d_enc is NOT
-  produced (the frozen-encoder trainers stop_gradient enc;
+  the chunk-resident output block), and — instead of accumulating the
+  big weight gradients in-kernel at G-row MXU utilisation — per-step
+  ROW-FACTOR STREAMS (dpre/dhfr/dfb/ddec and the recomputed
+  xfac/hfac/awe).  The weight gradients are then single (B·Tp)-row XLA
+  matmuls outside the kernel, at full-batch MXU utilisation; dropping
+  the ~35 MB of f32 accumulator blocks also lifts the backward image
+  tile G 8 -> 16 at flagship dims.  Only the wf gradient stays
+  in-kernel (it contracts against e, which never leaves VMEM).  d_enc
+  is NOT produced (the frozen-encoder trainers stop_gradient enc;
   ``teacher_forcing(..., enc_grad=True)`` — the fine-tune path — keeps
   the XLA scan).
 
@@ -47,6 +53,12 @@ The full_att bias is omitted from the in-kernel score like the decode
 kernels: softmax is shift-invariant, so alphas are identical and the
 bias's gradient is exactly zero in the math (the kernel reports 0; XLA
 reports the same up to roundoff).
+
+Measured (b1024 bf16 flagship dims, v5e): forward 36.1 ms vs 90.4 XLA,
+backward 93.1 ms vs ~130 XLA (was 190 before the row-factor streams and
+244 before per-span stacking; the single biggest step was giving
+d_alpha the transposed window — the (M=Pp, N=1) layout burned ~63 ms in
+one MXU column tile).  Cached-epoch train step: 164 vs 259 ms (+57%).
 """
 
 from __future__ import annotations
@@ -86,7 +98,8 @@ def _weights_bytes(*, E, A, D, F4, H, isz):
 def _estimate_fwd_vmem(G, S, *, Pp, E, A, D, F4, isz):
     H = D
     win = 2 * G * Pp * (E + A) * isz                   # chunk-resident + next
-    streams = 2 * G * S * (F4 + 2 * D + Pp) * isz      # emb_fac in, h/c/al out
+    # emb_fac in; h/c/alphas (+ awe_raw residual for the backward) out
+    streams = 2 * G * S * (F4 + 2 * D + Pp + E) * isz
     rows = 2 * G * (2 * D + 2 * F4) * isz              # h0/c0/semx/semh
     scratch = 2 * G * D * isz
     e_tmp = 2 * G * Pp * A * isz + G * Pp * 4          # e generations + att
@@ -96,13 +109,17 @@ def _estimate_fwd_vmem(G, S, *, Pp, E, A, D, F4, isz):
 
 def _estimate_bwd_vmem(G, S, *, Pp, E, A, D, F4, isz):
     H = D
-    win = 2 * G * Pp * (E + A) * isz
-    # h_prev/c_prev/c_all/alphas/emb_fac/d_hall/d_alphas in, d_emb out
-    streams = 2 * G * S * (4 * D + 2 * Pp + 2 * F4) * isz
+    # enc rides TRANSPOSED (G, E, Pp) so d_alpha is an (M=1, N=Pp) MXU
+    # dot; the lane-minor Pp pads to a multiple of 128
+    Pl = _round_up(Pp, 128)
+    win = 2 * G * (E * Pl + Pp * A) * isz
+    # in: h_prev/c_prev/c_all/alphas/emb_fac/d_hall/d_alphas/awe_raw
+    # out: d_emb + the row-factor streams dpre/dhfr/dfb/ddec/xfac/hfac/awe
+    streams = 2 * G * S * (4 * D + 2 * Pp + 2 * F4 + E) * isz \
+        + 2 * G * S * (4 * H + 2 * F4 + 2 * E + A) * isz
     rows = 2 * G * (2 * D + 2 * F4) * isz
     d_ea = 2 * G * Pp * A * 4                          # f32 chunk-resident
-    grads = (_weights_bytes(E=E, A=A, D=D, F4=F4, H=H, isz=4)
-             + G * (2 * D + 2 * F4) * 4 * 2)           # + dsem/dh0 blocks
+    grads = G * (2 * D + 2 * F4) * 4 * 2               # dsem/dh0 blocks
     scratch = 4 * G * D * 4
     e_tmp = 2 * G * Pp * A * (isz + 4) + 2 * G * Pp * 4
     return win + streams + rows + d_ea + grads + scratch + e_tmp \
@@ -144,7 +161,8 @@ def _mm(a, b):
     return _dot(a, b, ((1,), (0,)))
 
 
-def _make_fwd_kernel(*, names, G, S, Pp, P, E, A, D, F, H, F4, dt):
+def _make_fwd_kernel(*, names, G, S, Pp, P, E, A, D, F, H, F4, dt,
+                     save_awe):
     def sig(x):  # f32 transcendentals (Mosaic bf16 logistic bug workaround)
         return jax.nn.sigmoid(x.astype(jnp.float32)).astype(dt)
 
@@ -194,6 +212,10 @@ def _make_fwd_kernel(*, names, G, S, Pp, P, E, A, D, F, H, F4, dt):
                 alpha[:, None, :].astype(dt), enc,
                 (((2,), (1,)), ((0,), (0,))),
                 preferred_element_type=jnp.float32)[:, 0, :].astype(dt)
+            if save_awe:
+                # residual for the backward: saves it both the awe_raw
+                # recompute and the untransposed enc window
+                r["awe_raw"][:, 0, sub, :] = awe_raw
             gate = sig(_mm(h, r["wfb"][:]).astype(dt) + r["bfb"][:].astype(dt))
             awe = gate * awe_raw                         # (G, E)
 
@@ -251,37 +273,27 @@ def _make_bwd_kernel(*, names, G, S, n_spans, Pp, P, E, A, D, F, H,
 
         @pl.when(jnp.logical_and(b_id == 0, s_id == 0))
         def _():
-            for nm in _GRAD_NAMES:
-                r["d_" + nm][:] = jnp.zeros_like(r["d_" + nm])
+            r["d_wf"][:] = jnp.zeros_like(r["d_wf"])
 
         dh = r["dh_scr"][:]                              # (G, D) f32
         dc = r["dc_scr"][:]
         ea = r["ea"][:]
-        enc = r["enc"][:]
+        enc_t = r["enc_t"][:]                            # (G, E, Pp)
         semx = r["semx"][:, 0, :].astype(f32)
         semh = r["semh"][:, 0, :].astype(f32)
         wf = r["wf"][:].astype(f32)                      # (1, A)
         prow3 = jax.lax.broadcasted_iota(jnp.int32, (G, Pp, 1), 1)
 
-        # Weight gradients accumulate DIRECTLY into the constant-index
-        # output refs (zeroed above at the first grid step): an SSA acc
-        # dict would keep a second ~35 MB f32 generation of every weight
-        # shape live across the unrolled span — the flagship f32 backward
-        # measured 162 MB scoped VMEM that way, 34 MB over the chip.
+        # Only the wf gradient accumulates in-kernel (it contracts
+        # against e, which never leaves VMEM); every other weight
+        # gradient is a full-batch XLA matmul over the row-factor
+        # streams written below (see _bwd_call).
         def add(name, contribution, idx=slice(None)):
             r["d_" + name][idx] = r["d_" + name][idx] + contribution
 
         d_semx_acc = jnp.zeros((G, F4), f32)
         d_semh_acc = jnp.zeros((G, F4), f32)
         d_ea_acc = jnp.zeros((G, Pp, A), f32)
-        # Per-step row factors, stacked after the span loop so every big
-        # weight gradient is ONE (S*G)-row matmul + ONE accumulator add
-        # per grid step.  Accumulating (E, F4)-sized outer products into
-        # the refs per STEP costs ~70 MB of VMEM read+write each — across
-        # 6,656 (chunk, span, sub) sites that alone was ~120 ms, the
-        # whole reason the first backward measured 244 ms.
-        rows = {k: [] for k in ("hprev", "dpre", "xfac", "hfac", "dhfr",
-                                "dxin", "awe", "dfb", "ddec")}
 
         for sub in reversed(range(S)):
             h_prev = r["h_prev"][:, 0, sub, :]              # (G, D) dt
@@ -290,14 +302,12 @@ def _make_bwd_kernel(*, names, G, S, n_spans, Pp, P, E, A, D, F, H,
             alpha = r["alphas"][:, 0, sub, :].astype(f32)   # (G, Pp)
             emb_fac = r["emb_fac"][:, 0, sub, :]
 
-            # ---- recompute the step (forward kernel order) ----
+            # ---- recompute the step (forward kernel order; awe_raw is
+            # a saved residual, not recomputed) ----
             dec = (_mm(h_prev, r["wda"][:]).astype(dt)
                    + r["bda"][:].astype(dt))
             e = jnp.maximum(ea + dec[:, None, :], 0)     # (G, Pp, A) dt
-            awe_raw = jax.lax.dot_general(
-                alpha[:, None, :].astype(dt), enc,
-                (((2,), (1,)), ((0,), (0,))),
-                preferred_element_type=f32)[:, 0, :].astype(dt)
+            awe_raw = r["awe_raw"][:, 0, sub, :]         # (G, E) dt
             gate_pre = _mm(h_prev, r["wfb"][:]) \
                 + r["bfb"][:].astype(f32)                # (G, E) f32
             gate = sigf(gate_pre)
@@ -341,93 +351,75 @@ def _make_bwd_kernel(*, names, G, S, n_spans, Pp, P, E, A, D, F, H,
                 d_hfac.append(_dot(dp, r["whp"][sl, :], ((1,), (1,))))
             d_xfac = jnp.concatenate(d_xfac, axis=1)     # (G, F4) f32
             d_hfac = jnp.concatenate(d_hfac, axis=1)
-            rows["dpre"].append(jnp.concatenate(d_pre, axis=1).astype(dt))
-            rows["hprev"].append(h_prev)
-            rows["xfac"].append(xfac.astype(dt))
-            rows["hfac"].append(hfac.astype(dt))
+            r["dpre"][:, 0, sub, :] = jnp.concatenate(
+                d_pre, axis=1).astype(dt)
+            r["xfac"][:, 0, sub, :] = xfac.astype(dt)
+            r["hfac"][:, 0, sub, :] = hfac.astype(dt)
 
             d_hfac_raw = d_hfac * semh
             d_semh_acc = d_semh_acc + d_hfac * hfac_raw
-            rows["dhfr"].append(d_hfac_raw.astype(dt))
+            r["dhfr"][:, 0, sub, :] = d_hfac_raw.astype(dt)
             dh_new = dh_new + _dot(d_hfac_raw.astype(dt), r["wh"][:],
                                    ((1,), (1,)))
 
             d_xin = d_xfac * semx                        # (G, F4) f32
             d_semx_acc = d_semx_acc + d_xfac * xin.astype(f32)
             r["d_emb"][:, 0, sub, :] = d_xin.astype(dt)
-            rows["dxin"].append(d_xin.astype(dt))
-            rows["awe"].append(awe)
+            r["awe"][:, 0, sub, :] = awe
             d_awe = _dot(d_xin.astype(dt), r["wxa"][:], ((1,), (1,)))
 
             # ---- f_beta gate backward ----
             d_gate = d_awe * awe_raw.astype(f32)         # (G, E)
             d_awe_raw = d_awe * gate
             d_fb_pre = d_gate * gate * (1.0 - gate)
-            rows["dfb"].append(d_fb_pre.astype(dt))
+            r["dfb"][:, 0, sub, :] = d_fb_pre.astype(dt)
             dh_new = dh_new + _dot(d_fb_pre.astype(dt), r["wfb"][:],
                                    ((1,), (1,)))
 
             # ---- attention backward ----
             if ablate == "noatt":
                 d_dec = jnp.zeros((G, A), dt)
-                rows["ddec"].append(d_dec)
+                r["ddec"][:, 0, sub, :] = d_dec
                 dh = dh_new + _dot(d_dec, r["wda"][:], ((1,), (1,)))
                 continue
-            # minor-dim insert on the f32 value, THEN cast (bf16
-            # minor-dim inserts are unsupported by Mosaic)
-            d_alpha = jax.lax.dot_general(
-                enc, d_awe_raw[:, :, None].astype(dt),
-                (((2,), (1,)), ((0,), (0,))),
-                preferred_element_type=f32)[:, :, 0]     # (G, Pp)
+            # (M=1, K=E, N=Pp) against the TRANSPOSED window: the
+            # (M=Pp, K=E, N=1) layout costs ~63 ms/step-total at
+            # flagship dims (N=1 uses one MXU column tile)
+            if ablate == "nodalpha":
+                d_alpha = jnp.zeros((G, Pp), f32)
+            else:
+                d_alpha = jax.lax.dot_general(
+                    d_awe_raw[:, None, :].astype(dt), enc_t,
+                    (((2,), (1,)), ((0,), (0,))),
+                    preferred_element_type=f32)[:, 0, :]  # (G, Pp)
             d_alpha = d_alpha + r["d_alphas"][:, 0, sub, :].astype(f32)
             inner = jnp.sum(d_alpha * alpha, axis=1, keepdims=True)
             d_att = alpha * (d_alpha - inner)            # (G, Pp) f32
             # bf16 vector comparisons are unsupported on this target —
             # the relu mask compares in f32
-            d_e = (d_att[:, :, None] * wf[None, :, :]
-                   * (e.astype(f32) > 0.0).astype(f32))  # (G, Pp, A) f32
-            if P < Pp:
-                d_e = jnp.where(prow3 < P, d_e, 0.0)
-            d_ea_acc = d_ea_acc + d_e
+            if ablate == "node":
+                d_e = jnp.zeros((G, Pp, A), f32)
+            else:
+                d_e = (d_att[:, :, None] * wf[None, :, :]
+                       * (e.astype(f32) > 0.0).astype(f32))  # f32
+                if P < Pp:
+                    d_e = jnp.where(prow3 < P, d_e, 0.0)
+            if ablate != "nodea":
+                d_ea_acc = d_ea_acc + d_e
             # Pp-reduces of (G, Pp, A) via batched dots (a plain
             # sum(axis=1) hits a Mosaic relayout bug on the (G, A) result)
             d_att3 = d_att[:, :, None].astype(dt)        # (G, Pp, 1)
-            add("wf", jnp.sum(jax.lax.dot_general(
-                d_att3, e, (((1,), (1,)), ((0,), (0,))),
-                preferred_element_type=f32), axis=0))    # (1, A) f32
+            if ablate != "nowf":
+                add("wf", jnp.sum(jax.lax.dot_general(
+                    d_att3, e, (((1,), (1,)), ((0,), (0,))),
+                    preferred_element_type=f32), axis=0))  # (1, A) f32
             ones_p = jnp.ones((G, 1, Pp), dt)
             d_dec = jax.lax.dot_general(
                 ones_p, d_e.astype(dt), (((2,), (1,)), ((0,), (0,))),
                 preferred_element_type=f32)[:, 0, :].astype(dt)  # (G, A)
-            rows["ddec"].append(d_dec)
+            r["ddec"][:, 0, sub, :] = d_dec
             dh_new = dh_new + _dot(d_dec, r["wda"][:], ((1,), (1,)))
             dh = dh_new
-
-        # ---- per-span weight gradients: one stacked (S*G)-row matmul
-        # each, one accumulator add per grid step ----
-        st = {k: jnp.concatenate(v, axis=0) for k, v in rows.items()}
-        if ablate == "nograd":
-            st = None
-        for g4 in range(4) if st is not None else ():
-            sl = slice(g4 * F, (g4 + 1) * F)
-            slh = slice(g4 * H, (g4 + 1) * H)
-            add("wxp", _dot(st["xfac"][:, sl], st["dpre"][:, slh],
-                            ((0,), (0,))), (sl, slice(None)))
-            add("whp", _dot(st["hfac"][:, sl], st["dpre"][:, slh],
-                            ((0,), (0,))), (sl, slice(None)))
-        if st is not None:
-            dpre_sum = jnp.sum(st["dpre"].astype(f32), axis=0,
-                               keepdims=True)
-            add("bx", dpre_sum)
-            add("bh", dpre_sum)
-            add("wh", _dot(st["hprev"], st["dhfr"], ((0,), (0,))))
-            add("wxa", _dot(st["awe"], st["dxin"], ((0,), (0,))))
-            add("wfb", _dot(st["hprev"], st["dfb"], ((0,), (0,))))
-            add("bfb", jnp.sum(st["dfb"].astype(f32), axis=0,
-                               keepdims=True))
-            add("wda", _dot(st["hprev"], st["ddec"], ((0,), (0,))))
-            add("bda", jnp.sum(st["ddec"].astype(f32), axis=0,
-                               keepdims=True))
 
         r["d_semx"][:, 0, :] = r["d_semx"][:, 0, :] + d_semx_acc
         r["d_semh"][:, 0, :] = r["d_semh"][:, 0, :] + d_semh_acc
@@ -475,9 +467,10 @@ def _span_pad(T: int, span: int) -> int:
 
 
 @functools.partial(jax.jit, static_argnames=("span", "num_pixels",
-                                             "img_tile", "interpret"))
+                                             "img_tile", "interpret",
+                                             "save_awe"))
 def _fwd_call(kw, enc_p, ea_p, emb_fac, semx, semh, h0, c0, *, span,
-              num_pixels, img_tile, interpret):
+              num_pixels, img_tile, interpret, save_awe=False):
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
     B, Pp, E = enc_p.shape
@@ -520,36 +513,45 @@ def _fwd_call(kw, enc_p, ea_p, emb_fac, semx, semh, h0, c0, *, span,
         inputs.append(kw[nm])
 
     out_names = ["h_all", "c_all", "alphas"]
+    # alphas ride f32: Pp is lane-unaligned (208 at flagship dims)
+    # and bf16 rank-changing stores at that width fail Mosaic layout
+    # inference; the extra bytes are the smallest stream here.
+    out_specs = [span4(D), span4(D), span4(Pp)]
+    out_shape = [jax.ShapeDtypeStruct((B, n_spans, S, D), dt),
+                 jax.ShapeDtypeStruct((B, n_spans, S, D), dt),
+                 jax.ShapeDtypeStruct((B, n_spans, S, Pp), jnp.float32)]
+    if save_awe:
+        out_names.append("awe_raw")
+        out_specs.append(span4(E))
+        out_shape.append(jax.ShapeDtypeStruct((B, n_spans, S, E), dt))
     scratch_names = ["h_scr", "c_scr"]
     kernel = _make_fwd_kernel(
         names=tuple(in_names + out_names + scratch_names),
         G=G, S=S, Pp=Pp, P=num_pixels, E=E, A=A, D=D, F=F, H=H, F4=F4,
-        dt=dt)
-    h_all, c_all, alphas = pl.pallas_call(
+        dt=dt, save_awe=save_awe)
+    outs = pl.pallas_call(
         kernel,
         grid=(B // G, n_spans),
         in_specs=in_specs,
-        out_specs=(span4(D), span4(D), span4(Pp)),
-        # alphas ride f32: Pp is lane-unaligned (208 at flagship dims)
-        # and bf16 rank-changing stores at that width fail Mosaic layout
-        # inference; the extra bytes are the smallest stream here.
-        out_shape=(jax.ShapeDtypeStruct((B, n_spans, S, D), dt),
-                   jax.ShapeDtypeStruct((B, n_spans, S, D), dt),
-                   jax.ShapeDtypeStruct((B, n_spans, S, Pp),
-                                        jnp.float32)),
+        out_specs=tuple(out_specs),
+        out_shape=tuple(out_shape),
         scratch_shapes=[pltpu.VMEM((G, D), dt), pltpu.VMEM((G, D), dt)],
         interpret=interpret,
         compiler_params=None if interpret else _params2d(),
     )(*inputs)
-    return (h_all.reshape(B, Tp, D), c_all.reshape(B, Tp, D),
-            alphas.reshape(B, Tp, Pp))
+    h_all, c_all, alphas = outs[:3]
+    res = (h_all.reshape(B, Tp, D), c_all.reshape(B, Tp, D),
+           alphas.reshape(B, Tp, Pp))
+    if save_awe:
+        res = res + (outs[3].reshape(B, Tp, E),)
+    return res
 
 
 @functools.partial(jax.jit, static_argnames=("span", "num_pixels",
                                              "img_tile", "interpret",
                                              "ablate"))
 def _bwd_call(kw, enc_p, ea_p, emb_fac, semx, semh, h0, c0,
-              h_all, c_all, alphas, d_hall, d_alphas, *, span,
+              h_all, c_all, alphas, awe_raw, d_hall, d_alphas, *, span,
               num_pixels, img_tile, interpret, ablate=None):
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
@@ -586,32 +588,41 @@ def _bwd_call(kw, enc_p, ea_p, emb_fac, semx, semh, h0, c0,
 
     sp = lambda x, d: x.reshape(B, n_spans, S, d)
     r3 = lambda x: x[:, None, :]
-    in_names = ["enc", "ea", "h_prev", "c_prev", "c_all", "alphas",
-                "emb_fac", "d_hall", "d_alphas", "semx", "semh"]
-    in_specs = [win(E), win(A), span4r(D), span4r(D), span4r(D),
+    # the encoder window rides TRANSPOSED: d_alpha contracts E with the
+    # output minor dim on Pp (full lanes) instead of N=1
+    enc_t = jnp.swapaxes(enc_p, 1, 2)                    # (B, E, Pp)
+    win_t = pl.BlockSpec((G, E, Pp), lambda b, s: (b, 0, 0),
+                         memory_space=pltpu.VMEM)
+    in_names = ["enc_t", "ea", "h_prev", "c_prev", "c_all", "alphas",
+                "emb_fac", "d_hall", "d_alphas", "awe_raw", "semx",
+                "semh"]
+    in_specs = [win_t, win(A), span4r(D), span4r(D), span4r(D),
                 span4r(Pp), span4r(F4), span4r(D), span4r(Pp),
-                rows3(F4), rows3(F4)]
-    inputs = [enc_p, ea_p, sp(h_prev, D), sp(c_prev, D), sp(c_all, D),
+                span4r(E), rows3(F4), rows3(F4)]
+    inputs = [enc_t, ea_p, sp(h_prev, D), sp(c_prev, D), sp(c_all, D),
               sp(alphas, Pp), sp(emb_fac, F4), sp(d_hall, D),
-              sp(d_alphas, Pp), r3(semx), r3(semh)]
+              sp(d_alphas, Pp), sp(awe_raw, E), r3(semx), r3(semh)]
     for nm in _WEIGHT_NAMES:
         in_names.append(nm)
         in_specs.append(const(*kw[nm].shape))
         inputs.append(kw[nm])
 
-    out_names = (["d_ea", "d_emb", "d_semx", "d_semh", "dh0", "dc0"]
-                 + ["d_" + nm for nm in _GRAD_NAMES])
+    stream_d = {"dpre": 4 * H, "dhfr": F4, "dfb": E, "ddec": A,
+                "xfac": F4, "hfac": F4, "awe": E}
+    out_names = (["d_ea", "d_emb", "d_semx", "d_semh", "dh0", "dc0",
+                  "d_wf"] + list(stream_d))
     out_specs = [win(A), span4r(F4), rows3(F4), rows3(F4), rows3(D),
-                 rows3(D)]
+                 rows3(D), const(*kw["wf"].shape)]
     out_shape = [jax.ShapeDtypeStruct((B, Pp, A), jnp.float32),
                  jax.ShapeDtypeStruct((B, n_spans, S, F4), dt),
                  jax.ShapeDtypeStruct((B, 1, F4), jnp.float32),
                  jax.ShapeDtypeStruct((B, 1, F4), jnp.float32),
                  jax.ShapeDtypeStruct((B, 1, D), jnp.float32),
-                 jax.ShapeDtypeStruct((B, 1, D), jnp.float32)]
-    for nm in _GRAD_NAMES:
-        out_specs.append(const(*kw[nm].shape))
-        out_shape.append(jax.ShapeDtypeStruct(kw[nm].shape, jnp.float32))
+                 jax.ShapeDtypeStruct((B, 1, D), jnp.float32),
+                 jax.ShapeDtypeStruct(kw["wf"].shape, jnp.float32)]
+    for nm, d in stream_d.items():
+        out_specs.append(span4r(d))
+        out_shape.append(jax.ShapeDtypeStruct((B, n_spans, S, d), dt))
 
     scratch_names = ["dh_scr", "dc_scr"]
     kernel = _make_bwd_kernel(
@@ -629,8 +640,39 @@ def _bwd_call(kw, enc_p, ea_p, emb_fac, semx, semh, h0, c0,
         interpret=interpret,
         compiler_params=None if interpret else _params2d(),
     )(*inputs)
-    d_ea, d_emb, d_semx, d_semh, dh0, dc0 = outs[:6]
-    d_kw = dict(zip(_GRAD_NAMES, outs[6:]))
+    d_ea, d_emb, d_semx, d_semh, dh0, dc0, d_wf = outs[:7]
+    st = {nm: o.reshape(B * Tp, d)
+          for (nm, d), o in zip(stream_d.items(), outs[7:])}
+
+    # ---- weight gradients: single (B*Tp)-row MXU matmuls over the
+    # streamed row factors (padded steps contribute exact-zero dpre
+    # rows).  Same numerics as in-kernel: dt products, f32 accumulate.
+    hp = h_prev.reshape(B * Tp, D)
+    dxin = d_emb.reshape(B * Tp, F4)
+    gm = lambda a, b: _dot(a, b, ((0,), (0,)))           # a^T b, f32 out
+    dpre4 = st["dpre"].reshape(-1, 4, H)
+    d_kw = {
+        "wxp": jnp.einsum("ngf,ngh->gfh", st["xfac"].reshape(-1, 4, F),
+                          dpre4,
+                          preferred_element_type=jnp.float32
+                          ).reshape(4 * F, H),
+        "whp": jnp.einsum("ngf,ngh->gfh", st["hfac"].reshape(-1, 4, F),
+                          dpre4,
+                          preferred_element_type=jnp.float32
+                          ).reshape(4 * F, H),
+        "wh": gm(hp, st["dhfr"]),
+        "wxa": gm(st["awe"], dxin),
+        "wfb": gm(hp, st["dfb"]),
+        "wda": gm(hp, st["ddec"]),
+        "wf": d_wf,
+        "bx": jnp.sum(st["dpre"].astype(jnp.float32), axis=0,
+                      keepdims=True),
+        "bfb": jnp.sum(st["dfb"].astype(jnp.float32), axis=0,
+                       keepdims=True),
+        "bda": jnp.sum(st["ddec"].astype(jnp.float32), axis=0,
+                       keepdims=True),
+    }
+    d_kw["bh"] = d_kw["bx"]
     return (d_ea, d_emb.reshape(B, Tp, F4), d_semx[:, 0], d_semh[:, 0],
             dh0[:, 0], dc0[:, 0], d_kw)
 
@@ -648,19 +690,20 @@ def _train_scan(static, kw, enc_p, ea_p, emb_fac, semx, semh, h0, c0):
 
 def _train_scan_fwd(static, kw, enc_p, ea_p, emb_fac, semx, semh, h0, c0):
     span, num_pixels, T, img_tile, interpret = static
-    h_all, c_all, alphas = _fwd_call(kw, enc_p, ea_p, emb_fac, semx, semh,
-                                     h0, c0, span=span,
-                                     num_pixels=num_pixels,
-                                     img_tile=img_tile, interpret=interpret)
+    h_all, c_all, alphas, awe_raw = _fwd_call(
+        kw, enc_p, ea_p, emb_fac, semx, semh, h0, c0, span=span,
+        num_pixels=num_pixels, img_tile=img_tile, interpret=interpret,
+        save_awe=True)
     res = (kw, enc_p, ea_p, emb_fac, semx, semh, h0, c0, h_all, c_all,
-           alphas)
+           alphas, awe_raw)
     return (h_all[:, :T],
             alphas[:, :T, :num_pixels].astype(h_all.dtype)), res
 
 
 def _train_scan_bwd(static, res, cts):
     span, num_pixels, T, img_tile, interpret = static
-    kw, enc_p, ea_p, emb_fac, semx, semh, h0, c0, h_all, c_all, alphas = res
+    (kw, enc_p, ea_p, emb_fac, semx, semh, h0, c0, h_all, c_all, alphas,
+     awe_raw) = res
     d_hall_sl, d_alphas_sl = cts
     B, Tp, D = h_all.shape
     Pp = alphas.shape[-1]
@@ -670,8 +713,8 @@ def _train_scan_bwd(static, res, cts):
         .at[:, :T, :num_pixels].set(d_alphas_sl.astype(jnp.float32))
     d_ea, d_emb, d_semx, d_semh, dh0, dc0, d_kw = _bwd_call(
         kw, enc_p, ea_p, emb_fac, semx, semh, h0, c0, h_all, c_all,
-        alphas, d_hall, d_alphas, span=span, num_pixels=num_pixels,
-        img_tile=img_tile, interpret=interpret)
+        alphas, awe_raw, d_hall, d_alphas, span=span,
+        num_pixels=num_pixels, img_tile=img_tile, interpret=interpret)
     cast = lambda g, p: g.astype(p.dtype)
     return (jax.tree.map(cast, d_kw, kw),
             jnp.zeros_like(enc_p),                      # frozen encoder

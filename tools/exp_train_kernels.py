@@ -82,23 +82,30 @@ def main():
                             img_tile=args.img_tile)
     print(f"B={B} dt={args.dtype} span={S} G_fwd={Gf} G_bwd={Gb}")
 
-    fwd = lambda: tp._fwd_call(kw, enc_p, ea_p, emb_fac, semx, semh, h0,
-                               c0, span=S, num_pixels=196,
-                               img_tile=args.img_tile, interpret=False)
+    fwd = lambda **kw2: tp._fwd_call(kw, enc_p, ea_p, emb_fac, semx,
+                                     semh, h0, c0, span=S,
+                                     num_pixels=196,
+                                     img_tile=args.img_tile,
+                                     interpret=False, **kw2)
     what = args.what.split(",")
     if "fwd" in what:
-        h_all, c_all, alphas = fwd()
+        fwd()
         print(f"  fwd kernel : {timed(fwd):7.1f} ms")
+    if "fwdsave" in what:
+        fwd(save_awe=True)
+        print(f"  fwd kernel (save_awe): "
+              f"{timed(lambda: fwd(save_awe=True)):7.1f} ms")
     for w in what:
         if not w.startswith("bwd"):
             continue
         ablate = w[4:] or None if len(w) > 3 else None
-        h_all, c_all, alphas = fwd()
+        h_all, c_all, alphas, awe_raw = fwd(save_awe=True)
         d_hall = jnp.ones((B, Tp, 512), dt) * 0.01
         d_alphas = jnp.zeros((B, Tp, alphas.shape[-1]), jnp.float32)
         bwd = lambda: tp._bwd_call(kw, enc_p, ea_p, emb_fac, semx, semh,
-                                   h0, c0, h_all, c_all, alphas, d_hall,
-                                   d_alphas, span=S, num_pixels=196,
+                                   h0, c0, h_all, c_all, alphas, awe_raw,
+                                   d_hall, d_alphas, span=S,
+                                   num_pixels=196,
                                    img_tile=args.img_tile,
                                    interpret=False, ablate=ablate)
         print(f"  bwd kernel ({ablate}): {timed(bwd):7.1f} ms")
