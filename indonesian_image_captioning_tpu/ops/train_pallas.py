@@ -49,6 +49,18 @@ here a fixed-shape masked scan, bit-compatible with models/decoders.py
 teacher_forcing up to float reassociation (see tests/test_train_fused.py
 for the tolerance-based parity contract, forward AND gradients).
 
+Both attention-bearing decoder families are covered via a ``cell``
+branch compiled into the kernel pair: "scn" (attention_scn, factored
+SCN recurrence) and "lstm" (pure_attention, torch nn.LSTMCell order
+i,f,g,o per /root/reference/models/decoders/pure_attention.py:40,141-147
+— pre = emb@w_ih[:Emb] + awe@w_ih[Emb:] + h@w_hh + b_ih + b_hh, the
+concat split being exact).  The LSTM backward is simpler: pre's
+cotangent IS the xin cotangent, so the dpre stream doubles as d_emb and
+the xfac/hfac/dhfr streams disappear.  pure_scn is deliberately NOT
+covered: its scan reads no encoder state and its head already runs
+outside the scan, so there is no DMA floor to break (XLA is within
+measurement noise of roofline there).
+
 The full_att bias is omitted from the in-kernel score like the decode
 kernels: softmax is shift-invariant, so alphas are identical and the
 bias's gradient is exactly zero in the math (the kernel reports 0; XLA
@@ -89,41 +101,49 @@ _VMEM_BUDGET_FWD = 96 * 1024 * 1024
 _VMEM_BUDGET_BWD = 112 * 1024 * 1024
 
 
-def _weights_bytes(*, E, A, D, F4, H, isz):
-    # wda, bda, wf(f32), wfb, bfb, wxa, wh, wxp, whp, bx, bh
+def _weights_bytes(*, E, A, D, F4, H, isz, cell="scn"):
+    # wda, bda, wf(f32), wfb, bfb, wxa, wh, [wxp, whp (scn)], bx, bh
+    factored = 2 * F4 * H if cell == "scn" else 0
     return (D * A + A + D * E + E + E * F4 + D * F4
-            + 2 * F4 * H + 8 * H) * isz + A * 4
+            + factored + 8 * H) * isz + A * 4
 
 
-def _estimate_fwd_vmem(G, S, *, Pp, E, A, D, F4, isz):
+def _estimate_fwd_vmem(G, S, *, Pp, E, A, D, F4, isz, cell="scn"):
     H = D
     win = 2 * G * Pp * (E + A) * isz                   # chunk-resident + next
     # emb_fac in; h/c/alphas (+ awe_raw residual for the backward) out
     streams = 2 * G * S * (F4 + 2 * D + Pp + E) * isz
-    rows = 2 * G * (2 * D + 2 * F4) * isz              # h0/c0/semx/semh
+    rows = 2 * G * (2 * D + (2 * F4 if cell == "scn" else 0)) * isz
     scratch = 2 * G * D * isz
     e_tmp = 2 * G * Pp * A * isz + G * Pp * 4          # e generations + att
     return win + streams + rows + scratch + e_tmp + _weights_bytes(
-        E=E, A=A, D=D, F4=F4, H=H, isz=isz)
+        E=E, A=A, D=D, F4=F4, H=H, isz=isz, cell=cell)
 
 
-def _estimate_bwd_vmem(G, S, *, Pp, E, A, D, F4, isz):
+def _estimate_bwd_vmem(G, S, *, Pp, E, A, D, F4, isz, cell="scn"):
     H = D
     # enc rides TRANSPOSED (G, E, Pp) so d_alpha is an (M=1, N=Pp) MXU
     # dot; the lane-minor Pp pads to a multiple of 128
     Pl = _round_up(Pp, 128)
     win = 2 * G * (E * Pl + Pp * A) * isz
-    # in: h_prev/c_prev/c_all/alphas/emb_fac/d_hall/d_alphas/awe_raw
-    # out: d_emb + the row-factor streams dpre/dhfr/dfb/ddec/xfac/hfac/awe
-    streams = 2 * G * S * (4 * D + 2 * Pp + 2 * F4 + E) * isz \
-        + 2 * G * S * (4 * H + 2 * F4 + 2 * E + A) * isz
-    rows = 2 * G * (2 * D + 2 * F4) * isz
+    if cell == "scn":
+        # in: h_prev/c_prev/c_all/alphas/emb_fac/d_hall/d_alphas/awe_raw
+        # out: d_emb + row-factor streams dpre/dhfr/dfb/ddec/xfac/hfac/awe
+        streams = 2 * G * S * (4 * D + 2 * Pp + 2 * F4 + E) * isz \
+            + 2 * G * S * (4 * H + 2 * F4 + 2 * E + A) * isz
+        rows = 2 * G * (2 * D + 2 * F4) * isz
+        grads = G * (2 * D + 2 * F4) * 4 * 2           # dsem/dh0 blocks
+    else:
+        # out streams: dpre (doubles as d_emb) / dfb / ddec / awe
+        streams = 2 * G * S * (4 * D + 2 * Pp + F4 + E) * isz \
+            + 2 * G * S * (4 * H + 2 * E + A) * isz
+        rows = 2 * G * 2 * D * isz
+        grads = G * 2 * D * 4 * 2                      # dh0/dc0 blocks
     d_ea = 2 * G * Pp * A * 4                          # f32 chunk-resident
-    grads = G * (2 * D + 2 * F4) * 4 * 2               # dsem/dh0 blocks
     scratch = 4 * G * D * 4
     e_tmp = 2 * G * Pp * A * (isz + 4) + 2 * G * Pp * 4
     return win + streams + rows + d_ea + grads + scratch + e_tmp \
-        + _weights_bytes(E=E, A=A, D=D, F4=F4, H=H, isz=isz)
+        + _weights_bytes(E=E, A=A, D=D, F4=F4, H=H, isz=isz, cell=cell)
 
 
 def _budget(backward: bool) -> int:
@@ -162,7 +182,7 @@ def _mm(a, b):
 
 
 def _make_fwd_kernel(*, names, G, S, Pp, P, E, A, D, F, H, F4, dt,
-                     save_awe):
+                     save_awe, cell="scn"):
     def sig(x):  # f32 transcendentals (Mosaic bf16 logistic bug workaround)
         return jax.nn.sigmoid(x.astype(jnp.float32)).astype(dt)
 
@@ -182,8 +202,9 @@ def _make_fwd_kernel(*, names, G, S, Pp, P, E, A, D, F, H, F4, dt,
         c = r["c_scr"][:]
         ea = r["ea"][:]                                  # (G, Pp, A)
         enc = r["enc"][:]                                # (G, Pp, E)
-        semx = r["semx"][:, 0, :]
-        semh = r["semh"][:, 0, :]
+        if cell == "scn":
+            semx = r["semx"][:, 0, :]
+            semh = r["semh"][:, 0, :]
         wf = r["wf"][:].astype(jnp.float32)              # (1, A)
         prow = jax.lax.broadcasted_iota(jnp.int32, (G, Pp), 1)
 
@@ -219,24 +240,37 @@ def _make_fwd_kernel(*, names, G, S, Pp, P, E, A, D, F, H, F4, dt,
             gate = sig(_mm(h, r["wfb"][:]).astype(dt) + r["bfb"][:].astype(dt))
             awe = gate * awe_raw                         # (G, E)
 
-            # ---- SCN recurrence (models/scn_cell.scn_step) ----
             xin = (r["emb_fac"][:, 0, sub, :]
                    + _mm(awe, r["wxa"][:]).astype(dt))   # (G, F4)
-            xfac = xin * semx
-            hfac = _mm(h, r["wh"][:]).astype(dt) * semh
-            pre = []
-            for g4 in range(4):
-                sl = slice(g4 * F, (g4 + 1) * F)
-                slh = slice(g4 * H, (g4 + 1) * H)
-                xg = _mm(xfac[:, sl], r["wxp"][sl, :]) \
-                    + r["bx"][:, slh].astype(jnp.float32)
-                hg = _mm(hfac[:, sl], r["whp"][sl, :]) \
-                    + r["bh"][:, slh].astype(jnp.float32)
-                pre.append((xg + hg).astype(dt))
-            i_g = sig(pre[0])
-            f_g = sig(pre[1])
-            o_g = sig(pre[2])
-            g_t = tnh(pre[3])
+            if cell == "scn":
+                # ---- SCN recurrence (models/scn_cell.scn_step) ----
+                xfac = xin * semx
+                hfac = _mm(h, r["wh"][:]).astype(dt) * semh
+                pre = []
+                for g4 in range(4):
+                    sl = slice(g4 * F, (g4 + 1) * F)
+                    slh = slice(g4 * H, (g4 + 1) * H)
+                    xg = _mm(xfac[:, sl], r["wxp"][sl, :]) \
+                        + r["bx"][:, slh].astype(jnp.float32)
+                    hg = _mm(hfac[:, sl], r["whp"][sl, :]) \
+                        + r["bh"][:, slh].astype(jnp.float32)
+                    pre.append((xg + hg).astype(dt))
+                i_g = sig(pre[0])
+                f_g = sig(pre[1])
+                o_g = sig(pre[2])
+                g_t = tnh(pre[3])
+            else:
+                # ---- torch LSTM recurrence (models/lstm_cell.lstm_step,
+                # gate order i, f, g, o) — xin already carries b-free
+                # emb@w_ih[:Emb] + awe@w_ih[Emb:]; F4 == 4H here ----
+                pre_all = (xin.astype(jnp.float32)
+                           + _mm(h, r["wh"][:])
+                           + r["bx"][:].astype(jnp.float32)
+                           + r["bh"][:].astype(jnp.float32)).astype(dt)
+                i_g = sig(pre_all[:, :H])
+                f_g = sig(pre_all[:, H:2 * H])
+                g_t = tnh(pre_all[:, 2 * H:3 * H])
+                o_g = sig(pre_all[:, 3 * H:])
             c = f_g * c + i_g * g_t
             h = o_g * tnh(c)
             r["h_all"][:, 0, sub, :] = h
@@ -249,7 +283,7 @@ def _make_fwd_kernel(*, names, G, S, Pp, P, E, A, D, F, H, F4, dt,
 
 
 def _make_bwd_kernel(*, names, G, S, n_spans, Pp, P, E, A, D, F, H,
-                     F4, dt, ablate=None):
+                     F4, dt, ablate=None, cell="scn"):
     f32 = jnp.float32
 
     def sigf(x):
@@ -268,8 +302,9 @@ def _make_bwd_kernel(*, names, G, S, n_spans, Pp, P, E, A, D, F, H,
             r["dh_scr"][:] = jnp.zeros_like(r["dh_scr"])
             r["dc_scr"][:] = jnp.zeros_like(r["dc_scr"])
             r["d_ea"][:] = jnp.zeros_like(r["d_ea"])
-            r["d_semx"][:] = jnp.zeros_like(r["d_semx"])
-            r["d_semh"][:] = jnp.zeros_like(r["d_semh"])
+            if cell == "scn":
+                r["d_semx"][:] = jnp.zeros_like(r["d_semx"])
+                r["d_semh"][:] = jnp.zeros_like(r["d_semh"])
 
         @pl.when(jnp.logical_and(b_id == 0, s_id == 0))
         def _():
@@ -279,8 +314,9 @@ def _make_bwd_kernel(*, names, G, S, n_spans, Pp, P, E, A, D, F, H,
         dc = r["dc_scr"][:]
         ea = r["ea"][:]
         enc_t = r["enc_t"][:]                            # (G, E, Pp)
-        semx = r["semx"][:, 0, :].astype(f32)
-        semh = r["semh"][:, 0, :].astype(f32)
+        if cell == "scn":
+            semx = r["semx"][:, 0, :].astype(f32)
+            semh = r["semh"][:, 0, :].astype(f32)
         wf = r["wf"][:].astype(f32)                      # (1, A)
         prow3 = jax.lax.broadcasted_iota(jnp.int32, (G, Pp, 1), 1)
 
@@ -291,8 +327,9 @@ def _make_bwd_kernel(*, names, G, S, n_spans, Pp, P, E, A, D, F, H,
         def add(name, contribution, idx=slice(None)):
             r["d_" + name][idx] = r["d_" + name][idx] + contribution
 
-        d_semx_acc = jnp.zeros((G, F4), f32)
-        d_semh_acc = jnp.zeros((G, F4), f32)
+        if cell == "scn":
+            d_semx_acc = jnp.zeros((G, F4), f32)
+            d_semh_acc = jnp.zeros((G, F4), f32)
         d_ea_acc = jnp.zeros((G, Pp, A), f32)
 
         for sub in reversed(range(S)):
@@ -313,58 +350,83 @@ def _make_bwd_kernel(*, names, G, S, n_spans, Pp, P, E, A, D, F, H,
             gate = sigf(gate_pre)
             awe = gate.astype(dt) * awe_raw
             xin = (emb_fac + _mm(awe, r["wxa"][:]).astype(dt))
-            xfac = xin.astype(f32) * semx                # (G, F4) f32
-            hfac_raw = _mm(h_prev, r["wh"][:])           # (G, F4) f32
-            hfac = hfac_raw * semh
-            pre = []
-            for g4 in range(4):
-                sl = slice(g4 * F, (g4 + 1) * F)
-                slh = slice(g4 * H, (g4 + 1) * H)
-                xg = _mm(xfac[:, sl].astype(dt), r["wxp"][sl, :]) \
-                    + r["bx"][:, slh].astype(f32)
-                hg = _mm(hfac[:, sl].astype(dt), r["whp"][sl, :]) \
-                    + r["bh"][:, slh].astype(f32)
-                pre.append(xg + hg)                      # (G, H) f32
-            i_g = sigf(pre[0])
-            f_g = sigf(pre[1])
-            o_g = sigf(pre[2])
-            g_t = tnhf(pre[3])
+            dh_t = dh + r["d_hall"][:, 0, sub, :].astype(f32)
             tc = tnhf(c_t)
 
-            # ---- cell backward ----
-            dh_t = dh + r["d_hall"][:, 0, sub, :].astype(f32)
-            d_o = dh_t * tc * o_g * (1.0 - o_g)
-            dc_t = dc + dh_t * o_g * (1.0 - tc * tc)
-            d_f = dc_t * c_prev.astype(f32) * f_g * (1.0 - f_g)
-            d_i = dc_t * g_t * i_g * (1.0 - i_g)
-            d_g = dc_t * i_g * (1.0 - g_t * g_t)
-            dc = dc_t * f_g
-            d_pre = [d_i, d_f, d_o, d_g]                 # gate order i,f,o,c
+            if cell == "scn":
+                xfac = xin.astype(f32) * semx            # (G, F4) f32
+                hfac_raw = _mm(h_prev, r["wh"][:])       # (G, F4) f32
+                hfac = hfac_raw * semh
+                pre = []
+                for g4 in range(4):
+                    sl = slice(g4 * F, (g4 + 1) * F)
+                    slh = slice(g4 * H, (g4 + 1) * H)
+                    xg = _mm(xfac[:, sl].astype(dt), r["wxp"][sl, :]) \
+                        + r["bx"][:, slh].astype(f32)
+                    hg = _mm(hfac[:, sl].astype(dt), r["whp"][sl, :]) \
+                        + r["bh"][:, slh].astype(f32)
+                    pre.append(xg + hg)                  # (G, H) f32
+                i_g = sigf(pre[0])
+                f_g = sigf(pre[1])
+                o_g = sigf(pre[2])
+                g_t = tnhf(pre[3])
 
-            dh_new = jnp.zeros((G, D), f32)
-            d_xfac = []
-            d_hfac = []
-            for g4 in range(4):
-                sl = slice(g4 * F, (g4 + 1) * F)
-                dp = d_pre[g4].astype(dt)                # (G, H)
-                d_xfac.append(_dot(dp, r["wxp"][sl, :], ((1,), (1,))))
-                d_hfac.append(_dot(dp, r["whp"][sl, :], ((1,), (1,))))
-            d_xfac = jnp.concatenate(d_xfac, axis=1)     # (G, F4) f32
-            d_hfac = jnp.concatenate(d_hfac, axis=1)
-            r["dpre"][:, 0, sub, :] = jnp.concatenate(
-                d_pre, axis=1).astype(dt)
-            r["xfac"][:, 0, sub, :] = xfac.astype(dt)
-            r["hfac"][:, 0, sub, :] = hfac.astype(dt)
+                # ---- cell backward ----
+                d_o = dh_t * tc * o_g * (1.0 - o_g)
+                dc_t = dc + dh_t * o_g * (1.0 - tc * tc)
+                d_f = dc_t * c_prev.astype(f32) * f_g * (1.0 - f_g)
+                d_i = dc_t * g_t * i_g * (1.0 - i_g)
+                d_g = dc_t * i_g * (1.0 - g_t * g_t)
+                dc = dc_t * f_g
+                d_pre = [d_i, d_f, d_o, d_g]             # gate order i,f,o,c
 
-            d_hfac_raw = d_hfac * semh
-            d_semh_acc = d_semh_acc + d_hfac * hfac_raw
-            r["dhfr"][:, 0, sub, :] = d_hfac_raw.astype(dt)
-            dh_new = dh_new + _dot(d_hfac_raw.astype(dt), r["wh"][:],
-                                   ((1,), (1,)))
+                dh_new = jnp.zeros((G, D), f32)
+                d_xfac = []
+                d_hfac = []
+                for g4 in range(4):
+                    sl = slice(g4 * F, (g4 + 1) * F)
+                    dp = d_pre[g4].astype(dt)            # (G, H)
+                    d_xfac.append(_dot(dp, r["wxp"][sl, :], ((1,), (1,))))
+                    d_hfac.append(_dot(dp, r["whp"][sl, :], ((1,), (1,))))
+                d_xfac = jnp.concatenate(d_xfac, axis=1)  # (G, F4) f32
+                d_hfac = jnp.concatenate(d_hfac, axis=1)
+                r["dpre"][:, 0, sub, :] = jnp.concatenate(
+                    d_pre, axis=1).astype(dt)
+                r["xfac"][:, 0, sub, :] = xfac.astype(dt)
+                r["hfac"][:, 0, sub, :] = hfac.astype(dt)
 
-            d_xin = d_xfac * semx                        # (G, F4) f32
-            d_semx_acc = d_semx_acc + d_xfac * xin.astype(f32)
-            r["d_emb"][:, 0, sub, :] = d_xin.astype(dt)
+                d_hfac_raw = d_hfac * semh
+                d_semh_acc = d_semh_acc + d_hfac * hfac_raw
+                r["dhfr"][:, 0, sub, :] = d_hfac_raw.astype(dt)
+                dh_new = dh_new + _dot(d_hfac_raw.astype(dt), r["wh"][:],
+                                       ((1,), (1,)))
+
+                d_xin = d_xfac * semx                    # (G, F4) f32
+                d_semx_acc = d_semx_acc + d_xfac * xin.astype(f32)
+                r["d_emb"][:, 0, sub, :] = d_xin.astype(dt)
+            else:
+                # ---- torch LSTM recompute + backward (gate order
+                # i, f, g, o; pre = xin + h@w_hh + b_ih + b_hh) ----
+                pre_all = (xin.astype(f32) + _mm(h_prev, r["wh"][:])
+                           + r["bx"][:].astype(f32)
+                           + r["bh"][:].astype(f32))     # (G, 4H) f32
+                i_g = sigf(pre_all[:, :H])
+                f_g = sigf(pre_all[:, H:2 * H])
+                g_t = tnhf(pre_all[:, 2 * H:3 * H])
+                o_g = sigf(pre_all[:, 3 * H:])
+
+                d_o = dh_t * tc * o_g * (1.0 - o_g)
+                dc_t = dc + dh_t * o_g * (1.0 - tc * tc)
+                d_f = dc_t * c_prev.astype(f32) * f_g * (1.0 - f_g)
+                d_i = dc_t * g_t * i_g * (1.0 - i_g)
+                d_g = dc_t * i_g * (1.0 - g_t * g_t)
+                dc = dc_t * f_g
+                d_pre = jnp.concatenate([d_i, d_f, d_g, d_o],
+                                        axis=1).astype(dt)  # (G, 4H)
+                r["dpre"][:, 0, sub, :] = d_pre          # doubles as d_emb
+                dh_new = _dot(d_pre, r["wh"][:], ((1,), (1,)))
+                d_xin = d_pre                            # pre = xin + ...
+
             r["awe"][:, 0, sub, :] = awe
             d_awe = _dot(d_xin.astype(dt), r["wxa"][:], ((1,), (1,)))
 
@@ -421,8 +483,9 @@ def _make_bwd_kernel(*, names, G, S, n_spans, Pp, P, E, A, D, F, H,
             dh_new = dh_new + _dot(d_dec, r["wda"][:], ((1,), (1,)))
             dh = dh_new
 
-        r["d_semx"][:, 0, :] = r["d_semx"][:, 0, :] + d_semx_acc
-        r["d_semh"][:, 0, :] = r["d_semh"][:, 0, :] + d_semh_acc
+        if cell == "scn":
+            r["d_semx"][:, 0, :] = r["d_semx"][:, 0, :] + d_semx_acc
+            r["d_semh"][:, 0, :] = r["d_semh"][:, 0, :] + d_semh_acc
         r["d_ea"][:] = r["d_ea"][:] + d_ea_acc
         r["dh_scr"][:] = dh
         r["dc_scr"][:] = dc
@@ -435,9 +498,20 @@ def _make_bwd_kernel(*, names, G, S, n_spans, Pp, P, E, A, D, F, H,
     return kernel
 
 
-_WEIGHT_NAMES = ("wda", "bda", "wf", "wfb", "bfb", "wxa", "wh", "wxp",
-                 "whp", "bx", "bh")
-_GRAD_NAMES = _WEIGHT_NAMES
+_WEIGHT_NAMES_SCN = ("wda", "bda", "wf", "wfb", "bfb", "wxa", "wh", "wxp",
+                     "whp", "bx", "bh")
+_WEIGHT_NAMES_LSTM = ("wda", "bda", "wf", "wfb", "bfb", "wxa", "wh",
+                      "bx", "bh")
+
+
+def _weight_names(cell_kind: str):
+    return _WEIGHT_NAMES_SCN if cell_kind == "scn" else _WEIGHT_NAMES_LSTM
+
+
+def _cell_kind_of(kw) -> str:
+    # the weight-dict structure is static under jit, so branching on key
+    # presence at trace time is free
+    return "scn" if "wxp" in kw else "lstm"
 
 
 def pack_train_weights(params, cfg, dt):
@@ -447,19 +521,32 @@ def pack_train_weights(params, cfg, dt):
     att = params["attention"]
     A, E = cfg.attention_dim, cfg.encoder_dim
     Emb, F, H = cfg.embed_dim, cfg.factored_dim, cfg.decoder_dim
-    return {
+    kw = {
         "wda": att["decoder_att"]["w"].astype(dt),
         "bda": att["decoder_att"]["b"].reshape(1, A).astype(dt),
         "wf": att["full_att"]["w"].astype(jnp.float32).reshape(1, A),
         "wfb": params["f_beta"]["w"].astype(dt),
         "bfb": params["f_beta"]["b"].reshape(1, E).astype(dt),
+    }
+    if cfg.model_type == "pure_attention":
+        # torch LSTMCell: fused (in, 4H) weights; the embedding slab of
+        # w_ih is projected outside the kernel (emb_fac)
+        kw.update({
+            "wxa": cell["w_ih"][Emb:].astype(dt),
+            "wh": cell["w_hh"].astype(dt),
+            "bx": cell["b_ih"].reshape(1, 4 * H).astype(dt),
+            "bh": cell["b_hh"].reshape(1, 4 * H).astype(dt),
+        })
+        return kw
+    kw.update({
         "wxa": cell["w_x"][Emb:].astype(dt),
         "wh": cell["w_h"].astype(dt),
         "wxp": cell["w_xp"].reshape(4 * F, H).astype(dt),
         "whp": cell["w_hp"].reshape(4 * F, H).astype(dt),
         "bx": cell["b_x"].reshape(1, 4 * H).astype(dt),
         "bh": cell["b_h"].reshape(1, 4 * H).astype(dt),
-    }
+    })
+    return kw
 
 
 def _span_pad(T: int, span: int) -> int:
@@ -473,10 +560,11 @@ def _fwd_call(kw, enc_p, ea_p, emb_fac, semx, semh, h0, c0, *, span,
               num_pixels, img_tile, interpret, save_awe=False):
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
+    cell = _cell_kind_of(kw)
     B, Pp, E = enc_p.shape
     A = ea_p.shape[-1]
     D = h0.shape[-1]
-    F4 = semx.shape[-1]
+    F4 = emb_fac.shape[-1]
     F, H = F4 // 4, D
     Tp = emb_fac.shape[1]
     S = span
@@ -484,7 +572,7 @@ def _fwd_call(kw, enc_p, ea_p, emb_fac, semx, semh, h0, c0, *, span,
     dt = h0.dtype
     isz = jnp.dtype(dt).itemsize
     G = pick_train_tile(B, S, dims=dict(Pp=Pp, E=E, A=A, D=D, F4=F4,
-                                        isz=isz), backward=False,
+                                        isz=isz, cell=cell), backward=False,
                         img_tile=img_tile)
     if G is None:
         raise ValueError(f"no VMEM-feasible train tile for B={B}")
@@ -502,12 +590,17 @@ def _fwd_call(kw, enc_p, ea_p, emb_fac, semx, semh, h0, c0, *, span,
         shape, lambda b, s: (0,) * len(shape), memory_space=pltpu.VMEM)
 
     r3 = lambda x: x[:, None, :]
-    in_names = ["enc", "ea", "emb_fac", "semx", "semh", "h0", "c0"]
-    in_specs = [win(E), win(A), span4(F4), rows3(F4), rows3(F4),
-                rows3(D), rows3(D)]
-    inputs = [enc_p, ea_p, emb_fac.reshape(B, n_spans, S, F4),
-              r3(semx), r3(semh), r3(h0), r3(c0)]
-    for nm in _WEIGHT_NAMES:
+    in_names = ["enc", "ea", "emb_fac"]
+    in_specs = [win(E), win(A), span4(F4)]
+    inputs = [enc_p, ea_p, emb_fac.reshape(B, n_spans, S, F4)]
+    if cell == "scn":
+        in_names += ["semx", "semh"]
+        in_specs += [rows3(F4), rows3(F4)]
+        inputs += [r3(semx), r3(semh)]
+    in_names += ["h0", "c0"]
+    in_specs += [rows3(D), rows3(D)]
+    inputs += [r3(h0), r3(c0)]
+    for nm in _weight_names(cell):
         in_names.append(nm)
         in_specs.append(const(*kw[nm].shape))
         inputs.append(kw[nm])
@@ -528,7 +621,7 @@ def _fwd_call(kw, enc_p, ea_p, emb_fac, semx, semh, h0, c0, *, span,
     kernel = _make_fwd_kernel(
         names=tuple(in_names + out_names + scratch_names),
         G=G, S=S, Pp=Pp, P=num_pixels, E=E, A=A, D=D, F=F, H=H, F4=F4,
-        dt=dt, save_awe=save_awe)
+        dt=dt, save_awe=save_awe, cell=cell)
     outs = pl.pallas_call(
         kernel,
         grid=(B // G, n_spans),
@@ -555,10 +648,11 @@ def _bwd_call(kw, enc_p, ea_p, emb_fac, semx, semh, h0, c0,
               num_pixels, img_tile, interpret, ablate=None):
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
+    cell = _cell_kind_of(kw)
     B, Pp, E = enc_p.shape
     A = ea_p.shape[-1]
     D = h0.shape[-1]
-    F4 = semx.shape[-1]
+    F4 = emb_fac.shape[-1]
     F, H = F4 // 4, D
     Tp = emb_fac.shape[1]
     S = span
@@ -566,7 +660,7 @@ def _bwd_call(kw, enc_p, ea_p, emb_fac, semx, semh, h0, c0,
     dt = h0.dtype
     isz = jnp.dtype(dt).itemsize
     G = pick_train_tile(B, S, dims=dict(Pp=Pp, E=E, A=A, D=D, F4=F4,
-                                        isz=isz), backward=True,
+                                        isz=isz, cell=cell), backward=True,
                         img_tile=img_tile)
     if G is None:
         raise ValueError(f"no VMEM-feasible train tile for B={B}")
@@ -594,32 +688,43 @@ def _bwd_call(kw, enc_p, ea_p, emb_fac, semx, semh, h0, c0,
     win_t = pl.BlockSpec((G, E, Pp), lambda b, s: (b, 0, 0),
                          memory_space=pltpu.VMEM)
     in_names = ["enc_t", "ea", "h_prev", "c_prev", "c_all", "alphas",
-                "emb_fac", "d_hall", "d_alphas", "awe_raw", "semx",
-                "semh"]
+                "emb_fac", "d_hall", "d_alphas", "awe_raw"]
     in_specs = [win_t, win(A), span4r(D), span4r(D), span4r(D),
                 span4r(Pp), span4r(F4), span4r(D), span4r(Pp),
-                span4r(E), rows3(F4), rows3(F4)]
+                span4r(E)]
     inputs = [enc_t, ea_p, sp(h_prev, D), sp(c_prev, D), sp(c_all, D),
               sp(alphas, Pp), sp(emb_fac, F4), sp(d_hall, D),
-              sp(d_alphas, Pp), sp(awe_raw, E), r3(semx), r3(semh)]
-    for nm in _WEIGHT_NAMES:
+              sp(d_alphas, Pp), sp(awe_raw, E)]
+    if cell == "scn":
+        in_names += ["semx", "semh"]
+        in_specs += [rows3(F4), rows3(F4)]
+        inputs += [r3(semx), r3(semh)]
+    for nm in _weight_names(cell):
         in_names.append(nm)
         in_specs.append(const(*kw[nm].shape))
         inputs.append(kw[nm])
 
-    stream_d = {"dpre": 4 * H, "dhfr": F4, "dfb": E, "ddec": A,
-                "xfac": F4, "hfac": F4, "awe": E}
-    out_names = (["d_ea", "d_emb", "d_semx", "d_semh", "dh0", "dc0",
-                  "d_wf"] + list(stream_d))
-    out_specs = [win(A), span4r(F4), rows3(F4), rows3(F4), rows3(D),
-                 rows3(D), const(*kw["wf"].shape)]
-    out_shape = [jax.ShapeDtypeStruct((B, Pp, A), jnp.float32),
-                 jax.ShapeDtypeStruct((B, n_spans, S, F4), dt),
-                 jax.ShapeDtypeStruct((B, 1, F4), jnp.float32),
-                 jax.ShapeDtypeStruct((B, 1, F4), jnp.float32),
-                 jax.ShapeDtypeStruct((B, 1, D), jnp.float32),
-                 jax.ShapeDtypeStruct((B, 1, D), jnp.float32),
-                 jax.ShapeDtypeStruct(kw["wf"].shape, jnp.float32)]
+    if cell == "scn":
+        stream_d = {"dpre": 4 * H, "dhfr": F4, "dfb": E, "ddec": A,
+                    "xfac": F4, "hfac": F4, "awe": E}
+    else:
+        # dpre doubles as the d_emb (xin) cotangent: pre = xin + h@wh + b
+        stream_d = {"dpre": 4 * H, "dfb": E, "ddec": A, "awe": E}
+    out_names = ["d_ea"]
+    out_specs = [win(A)]
+    out_shape = [jax.ShapeDtypeStruct((B, Pp, A), jnp.float32)]
+    if cell == "scn":
+        out_names += ["d_emb", "d_semx", "d_semh"]
+        out_specs += [span4r(F4), rows3(F4), rows3(F4)]
+        out_shape += [jax.ShapeDtypeStruct((B, n_spans, S, F4), dt),
+                      jax.ShapeDtypeStruct((B, 1, F4), jnp.float32),
+                      jax.ShapeDtypeStruct((B, 1, F4), jnp.float32)]
+    out_names += ["dh0", "dc0", "d_wf"]
+    out_specs += [rows3(D), rows3(D), const(*kw["wf"].shape)]
+    out_shape += [jax.ShapeDtypeStruct((B, 1, D), jnp.float32),
+                  jax.ShapeDtypeStruct((B, 1, D), jnp.float32),
+                  jax.ShapeDtypeStruct(kw["wf"].shape, jnp.float32)]
+    out_names += list(stream_d)
     for nm, d in stream_d.items():
         out_specs.append(span4r(d))
         out_shape.append(jax.ShapeDtypeStruct((B, n_spans, S, d), dt))
@@ -628,7 +733,7 @@ def _bwd_call(kw, enc_p, ea_p, emb_fac, semx, semh, h0, c0,
     kernel = _make_bwd_kernel(
         names=tuple(in_names + out_names + scratch_names),
         G=G, S=S, n_spans=n_spans, Pp=Pp, P=num_pixels, E=E, A=A, D=D,
-        F=F, H=H, F4=F4, dt=dt, ablate=ablate)
+        F=F, H=H, F4=F4, dt=dt, ablate=ablate, cell=cell)
     outs = pl.pallas_call(
         kernel,
         grid=(B // G, n_spans),
@@ -640,28 +745,42 @@ def _bwd_call(kw, enc_p, ea_p, emb_fac, semx, semh, h0, c0,
         interpret=interpret,
         compiler_params=None if interpret else _params2d(),
     )(*inputs)
-    d_ea, d_emb, d_semx, d_semh, dh0, dc0, d_wf = outs[:7]
-    st = {nm: o.reshape(B * Tp, d)
-          for (nm, d), o in zip(stream_d.items(), outs[7:])}
+    outs = dict(zip(out_names, outs))
+    d_ea, d_wf = outs["d_ea"], outs["d_wf"]
+    dh0, dc0 = outs["dh0"], outs["dc0"]
+    st = {nm: outs[nm].reshape(B * Tp, d) for nm, d in stream_d.items()}
 
     # ---- weight gradients: single (B*Tp)-row MXU matmuls over the
     # streamed row factors (padded steps contribute exact-zero dpre
     # rows).  Same numerics as in-kernel: dt products, f32 accumulate.
     hp = h_prev.reshape(B * Tp, D)
-    dxin = d_emb.reshape(B * Tp, F4)
     gm = lambda a, b: _dot(a, b, ((0,), (0,)))           # a^T b, f32 out
-    dpre4 = st["dpre"].reshape(-1, 4, H)
-    d_kw = {
-        "wxp": jnp.einsum("ngf,ngh->gfh", st["xfac"].reshape(-1, 4, F),
-                          dpre4,
-                          preferred_element_type=jnp.float32
-                          ).reshape(4 * F, H),
-        "whp": jnp.einsum("ngf,ngh->gfh", st["hfac"].reshape(-1, 4, F),
-                          dpre4,
-                          preferred_element_type=jnp.float32
-                          ).reshape(4 * F, H),
-        "wh": gm(hp, st["dhfr"]),
-        "wxa": gm(st["awe"], dxin),
+    if cell == "scn":
+        d_emb = outs["d_emb"]
+        dxin = d_emb.reshape(B * Tp, F4)
+        dpre4 = st["dpre"].reshape(-1, 4, H)
+        d_kw = {
+            "wxp": jnp.einsum("ngf,ngh->gfh", st["xfac"].reshape(-1, 4, F),
+                              dpre4,
+                              preferred_element_type=jnp.float32
+                              ).reshape(4 * F, H),
+            "whp": jnp.einsum("ngf,ngh->gfh", st["hfac"].reshape(-1, 4, F),
+                              dpre4,
+                              preferred_element_type=jnp.float32
+                              ).reshape(4 * F, H),
+            "wh": gm(hp, st["dhfr"]),
+            "wxa": gm(st["awe"], dxin),
+        }
+        d_semx, d_semh = outs["d_semx"][:, 0], outs["d_semh"][:, 0]
+    else:
+        d_emb = outs["dpre"]                             # d_xin == d_pre
+        dxin = st["dpre"]
+        d_kw = {
+            "wh": gm(hp, st["dpre"]),
+            "wxa": gm(st["awe"], dxin),
+        }
+        d_semx = d_semh = None
+    d_kw.update({
         "wfb": gm(hp, st["dfb"]),
         "wda": gm(hp, st["ddec"]),
         "wf": d_wf,
@@ -671,9 +790,9 @@ def _bwd_call(kw, enc_p, ea_p, emb_fac, semx, semh, h0, c0,
                        keepdims=True),
         "bda": jnp.sum(st["ddec"].astype(jnp.float32), axis=0,
                        keepdims=True),
-    }
+    })
     d_kw["bh"] = d_kw["bx"]
-    return (d_ea, d_emb.reshape(B, Tp, F4), d_semx[:, 0], d_semh[:, 0],
+    return (d_ea, d_emb.reshape(B, Tp, F4), d_semx, d_semh,
             dh0[:, 0], dc0[:, 0], d_kw)
 
 
@@ -720,8 +839,8 @@ def _train_scan_bwd(static, res, cts):
             jnp.zeros_like(enc_p),                      # frozen encoder
             cast(d_ea, ea_p),
             cast(d_emb, emb_fac),
-            cast(d_semx, semx),
-            cast(d_semh, semh),
+            jnp.zeros_like(semx) if d_semx is None else cast(d_semx, semx),
+            jnp.zeros_like(semh) if d_semh is None else cast(d_semh, semh),
             cast(dh0, h0),
             cast(dc0, c0))
 
@@ -730,13 +849,24 @@ _train_scan.defvjp(_train_scan_fwd, _train_scan_bwd)
 
 
 def feasible(cfg, B: int, dt, span: int = 4, img_tile: int = 32) -> bool:
-    """Whether the fused training scan supports this configuration."""
-    if cfg.model_type != "attention_scn":
+    """Whether the fused training scan supports this configuration.
+
+    Covers the two attention-bearing families — attention_scn (SCN cell)
+    and pure_attention (torch LSTM cell) — whose XLA scans are DMA-bound
+    on the per-step encoder re-read.  pure_scn is deliberately excluded:
+    its scan carries no encoder state (the vocab head already runs
+    outside the scan), so there is no DMA floor for a fused kernel to
+    break there."""
+    if cfg.model_type == "attention_scn":
+        cell, F4 = "scn", 4 * cfg.factored_dim
+    elif cfg.model_type == "pure_attention":
+        cell, F4 = "lstm", 4 * cfg.decoder_dim
+    else:
         return False
     Pp = _round_up(cfg.num_pixels, 16)
     dims = dict(Pp=Pp, E=cfg.encoder_dim, A=cfg.attention_dim,
-                D=cfg.decoder_dim, F4=4 * cfg.factored_dim,
-                isz=jnp.dtype(dt).itemsize)
+                D=cfg.decoder_dim, F4=F4,
+                isz=jnp.dtype(dt).itemsize, cell=cell)
     return (pick_train_tile(B, span, dims=dims, backward=False,
                             img_tile=img_tile) is not None
             and pick_train_tile(B, span, dims=dims, backward=True,
@@ -761,20 +891,26 @@ def fused_teacher_forcing_scan(params, cfg, enc_flat, tags, emb, *,
     B, P, E = enc_flat.shape
     T = emb.shape[1]
     dt = enc_flat.dtype
-    F4 = 4 * cfg.factored_dim
     cell = params["decode_step"]
 
     enc_p = pad_pixels(enc_flat)
     ea_p = pad_pixels(attn.precompute(params["attention"], enc_flat))
-    sx, sh = scn_cell.semantic_projections(cell, tags)
-    semx = sx.reshape(B, F4).astype(dt)
-    semh = sh.reshape(B, F4).astype(dt)
+    if cfg.model_type == "pure_attention":
+        # dummy rows: the LSTM kernel reads no semantic state (their
+        # cotangents come back as exact zeros)
+        semx = semh = jnp.zeros((B, 1), dt)
+        w_x_emb = cell["w_ih"][: cfg.embed_dim]          # (Emb, 4H)
+    else:
+        F4 = 4 * cfg.factored_dim
+        sx, sh = scn_cell.semantic_projections(cell, tags)
+        semx = sx.reshape(B, F4).astype(dt)
+        semh = sh.reshape(B, F4).astype(dt)
+        w_x_emb = cell["w_x"][: cfg.embed_dim]
     h0, c0 = decoders.init_hidden_state(params, enc_flat)
     h0 = h0.astype(dt)
     c0 = c0.astype(dt)
-    w_x_emb = cell["w_x"][: cfg.embed_dim]
     Tp = _span_pad(T, span)
-    emb_fac = (emb @ w_x_emb).astype(dt)                 # (B, T, F4)
+    emb_fac = (emb @ w_x_emb).astype(dt)                 # (B, T, F4|4H)
     emb_fac = jnp.pad(emb_fac, ((0, 0), (0, Tp - T), (0, 0)))
     kw = pack_train_weights(params, cfg, dt)
     static = (span, P, T, img_tile,

@@ -35,9 +35,12 @@ def make_cfg(**kw):
     return ModelConfig(**base)
 
 
-@pytest.fixture(scope="module")
-def setup():
-    cfg = make_cfg()
+# both attention-bearing families route through the fused kernel pair:
+# attention_scn = the "scn" cell branch, pure_attention = the "lstm" branch
+@pytest.fixture(scope="module",
+                params=["attention_scn", "pure_attention"])
+def setup(request):
+    cfg = make_cfg(model_type=request.param)
     params = decoders.init_decoder(jax.random.key(0), cfg)
     ks = jax.random.split(jax.random.key(1), 5)
     enc = jax.random.normal(ks[0], (B, P, cfg.encoder_dim)) * 0.3
@@ -149,8 +152,10 @@ def test_span_padding_gradients_exact_zero_beyond_T(setup):
 
 
 def test_feasibility_gating():
-    assert not train_pallas.feasible(make_cfg(model_type="pure_attention"),
-                                     64, jnp.float32)
+    # both attention-bearing families are eligible; pure_scn has no
+    # encoder DMA in its scan, so it stays on the XLA path by design
+    assert train_pallas.feasible(make_cfg(model_type="pure_attention"),
+                                 64, jnp.float32)
     assert not train_pallas.feasible(make_cfg(model_type="pure_scn"),
                                      64, jnp.float32)
     assert train_pallas.feasible(make_cfg(), 64, jnp.float32)

@@ -26,14 +26,18 @@ from indonesian_image_captioning_tpu.ops import train_pallas
 
 def xla_scan(params, cfg, enc_flat, tags, emb):
     """The decoders.teacher_forcing scan, returning (h_all, alphas)."""
+    from indonesian_image_captioning_tpu.models import lstm_cell
+
     cell = params["decode_step"]
     T = emb.shape[1]
     h, c = decoders.init_hidden_state(params, enc_flat)
-    sem_x, sem_h = scn_cell.semantic_projections(cell, tags)
+    is_scn = cfg.model_type in decoders.SCN_BASED_MODELS
+    if is_scn:
+        sem_x, sem_h = scn_cell.semantic_projections(cell, tags)
+        w_x_emb = cell["w_x"][: cfg.embed_dim]
+        w_x_awe = cell["w_x"][cfg.embed_dim:]
+        emb_fac = (emb @ w_x_emb).reshape(*emb.shape[:2], 4, -1)
     enc_att = attn.precompute(params["attention"], enc_flat)
-    w_x_emb = cell["w_x"][: cfg.embed_dim]
-    w_x_awe = cell["w_x"][cfg.embed_dim:]
-    emb_fac = (emb @ w_x_emb).reshape(*emb.shape[:2], 4, -1)
 
     def step(carry, xs):
         h, c = carry
@@ -42,9 +46,13 @@ def xla_scan(params, cfg, enc_flat, tags, emb):
         gate = jax.nn.sigmoid(
             h @ params["f_beta"]["w"] + params["f_beta"]["b"])
         awe = gate * awe
-        x_fac = emb_fac[:, t] + (awe @ w_x_awe).reshape(
-            awe.shape[0], 4, -1)
-        h, c = scn_cell.scn_step(cell, x_fac, sem_x, sem_h, h, c)
+        if is_scn:
+            x_fac = emb_fac[:, t] + (awe @ w_x_awe).reshape(
+                awe.shape[0], 4, -1)
+            h, c = scn_cell.scn_step(cell, x_fac, sem_x, sem_h, h, c)
+        else:
+            x = jnp.concatenate([emb[:, t], awe], axis=-1)
+            h, c = lstm_cell.lstm_step(cell, x, h, c)
         return (h, c), (h, alpha)
 
     (_, _), (h_all, alphas) = jax.lax.scan(step, (h, c),
@@ -53,17 +61,20 @@ def xla_scan(params, cfg, enc_flat, tags, emb):
 
 
 def main():
+    model = "attention_scn"
+    if "--model" in sys.argv:
+        model = sys.argv[sys.argv.index("--model") + 1]
     if "--flagship" in sys.argv:
         # production dims (small B, tiny vocab — the head sits outside
         # the kernels, so V does not exercise them)
         B, P, T = 64, 196, 51
         span = 4
-        cfg = ModelConfig(model_type="attention_scn", vocab_size=512,
+        cfg = ModelConfig(model_type=model, vocab_size=512,
                           max_caption_len=T + 1)
     else:
         B, P, T = 16, 9, 7
         span = 4
-        cfg = ModelConfig(model_type="attention_scn", vocab_size=50,
+        cfg = ModelConfig(model_type=model, vocab_size=50,
                           embed_dim=24, attention_dim=40, decoder_dim=32,
                           factored_dim=16, semantic_dim=10, encoder_dim=48,
                           max_caption_len=T + 1)

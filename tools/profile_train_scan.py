@@ -23,6 +23,8 @@ def main():
     ap.add_argument("--rounds", type=int, default=2)
     ap.add_argument("--decoder-dtype", default="bfloat16")
     ap.add_argument("--span", type=int, default=4)
+    ap.add_argument("--model", default="attention_scn",
+                    choices=["attention_scn", "pure_attention"])
     ap.add_argument("--impl", default="xla,fused",
                     help="comma list of impls to run")
     args = ap.parse_args()
@@ -53,7 +55,7 @@ def main():
     steps_by_impl = {}
     subs = {}
     for impl in impls:
-        cfg = ModelConfig(model_type="attention_scn", vocab_size=V,
+        cfg = ModelConfig(model_type=args.model, vocab_size=V,
                           train_scan_impl=impl, train_span=args.span)
         opt = steps.make_optimizer(4e-4, 5.0)
         state = jax.device_put(ct.init_state(root_key(0), cfg, opt))
