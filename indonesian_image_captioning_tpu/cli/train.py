@@ -41,6 +41,12 @@ def build_parser() -> argparse.ArgumentParser:
                         "bf16 compute with f32 master weights "
                         "(TrainConfig.decoder_dtype; default float32 "
                         "for reference parity)")
+    p.add_argument("--tagger_dtype", default=None,
+                   choices=("float32", "bfloat16"),
+                   help="mixed-precision tagger training: bfloat16 = "
+                        "bf16 ResNet fwd/bwd with f32 master weights and "
+                        "f32 BatchNorm statistics (TrainConfig.tagger_dtype; "
+                        "default float32 for reference parity)")
     p.add_argument("--cache_features", action="store_true",
                    help="precompute the frozen encoder/tagger outputs once "
                         "per unique image and reuse them every epoch "
@@ -112,6 +118,8 @@ def _override(tcfg: TrainConfig, args) -> TrainConfig:
         kw["decoder_lr"] = args.decoder_lr
     if getattr(args, "decoder_dtype", None):
         kw["decoder_dtype"] = args.decoder_dtype
+    if getattr(args, "tagger_dtype", None):
+        kw["tagger_dtype"] = args.tagger_dtype
     if getattr(args, "cache_features", False):
         kw["cache_features"] = True
     if getattr(args, "cache_dtype", None):

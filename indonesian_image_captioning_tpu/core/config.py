@@ -269,6 +269,14 @@ class TrainConfig:
     # f32: bit-parity with the reference's training numerics (the
     # serving decode is bf16 regardless).
     decoder_dtype: str = "float32"
+    # Mixed-precision TAGGER training (the tagger recipe trains the
+    # ResNet-152 itself, so this is the trained-model analogue of
+    # decoder_dtype): "bfloat16" runs the differentiated encoder fwd/bwd
+    # in bf16 with f32 master params/Adam moments and f32 BatchNorm
+    # statistics (batch stats reduce in f32 regardless of compute dtype,
+    # models/resnet.py:_bn); the BCE/accuracy compute in f32 on cast-back
+    # probabilities.  Default f32 = reference training numerics.
+    tagger_dtype: str = "float32"
     # Precompute the FROZEN encoder/tagger outputs once per unique image
     # and reuse them every epoch (train/feature_cache.py).  Both ResNets
     # run in eval mode when frozen, so their outputs are deterministic per

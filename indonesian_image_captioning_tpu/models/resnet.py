@@ -131,11 +131,15 @@ def _bn(x, p, s, train):
     """
     if train:
         axes = (0, 1, 2)
-        mean = jnp.mean(x, axes)
+        # batch statistics always reduce in f32: a bf16 mean over a
+        # (B, H, W) slab loses mantissa long before the EMA does, and the
+        # stored running stats are f32 master state under mixed precision
+        xf = x.astype(jnp.float32)
+        mean = jnp.mean(xf, axes)
         # clamp: XLA may fuse variance as E[x^2] - E[x]^2, whose
         # cancellation can go slightly NEGATIVE on low-diversity batches —
         # stored negative var then blows up eval's rsqrt(var + eps)
-        var = jnp.maximum(jnp.var(x, axes), 0.0)
+        var = jnp.maximum(jnp.var(xf, axes), 0.0)
         if train == "calibrate":
             new_s = {"mean": mean, "var": var}
         else:

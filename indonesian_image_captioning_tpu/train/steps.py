@@ -125,7 +125,7 @@ def make_encoders_fn(cfg: ModelConfig, compute_dtype: str = "float32"):
 
 def make_caption_train_step(cfg: ModelConfig, tcfg: TrainConfig,
                             optimizer: optax.GradientTransformation,
-                            donate: bool = True):
+                            donate: bool = True, spmd_mesh=None):
     """Returns (encode_fn, step) where step is the jitted decoder update:
 
         step({"params", "opt_state"}, enc_out, tags, captions, caplens, rng)
@@ -153,7 +153,8 @@ def make_caption_train_step(cfg: ModelConfig, tcfg: TrainConfig,
                     if jnp.issubdtype(x.dtype, jnp.floating) else x, params)
                 out = decoders.teacher_forcing(
                     p, cfg, enc_out.astype(cdt), tags.astype(cdt),
-                    captions, caplens, dropout_rng=rng, train=True)
+                    captions, caplens, dropout_rng=rng, train=True,
+                    spmd_mesh=spmd_mesh)
                 out = {**out,
                        "predictions": out["predictions"].astype(jnp.float32),
                        "alphas": (out["alphas"].astype(jnp.float32)
@@ -162,7 +163,7 @@ def make_caption_train_step(cfg: ModelConfig, tcfg: TrainConfig,
             else:
                 out = decoders.teacher_forcing(
                     params, cfg, enc_out, tags, captions, caplens,
-                    dropout_rng=rng, train=True)
+                    dropout_rng=rng, train=True, spmd_mesh=spmd_mesh)
             loss, aux = losses.caption_loss(out, captions, tcfg.alpha_c)
             top5 = losses.masked_topk_accuracy(
                 out["predictions"], captions[:, 1:], out["mask"], 5)
@@ -300,16 +301,32 @@ def make_tagger_train_step(tcfg: TrainConfig,
                            donate: bool = True):
     """state = {"params", "stats", "opt_state"}; BCE on sigmoid scores with
     binary accuracy (trains/tagger.py:132-192).  BatchNorm runs in train
-    mode with running-stat updates, like the reference's encoder.train()."""
+    mode with running-stat updates, like the reference's encoder.train().
+
+    tcfg.tagger_dtype="bfloat16": bf16 fwd/bwd with f32 master params —
+    params are cast inside the loss so grads return f32 for the
+    clamp/Adam chain; BN batch stats reduce in f32 (resnet._bn) so the
+    running-stat EMA stays full precision; probs are cast back to f32
+    before the BCE clip (1 - 1e-7 is a no-op in bf16)."""
+    cdt = jnp.dtype(getattr(tcfg, "tagger_dtype", "float32"))
+    mixed = cdt != jnp.float32
 
     def step(state, batch, rng):
         images = prep_images(batch["images"])
         valid = batch.get("valid")
 
         def loss_fn(params):
+            if mixed:
+                params = jax.tree.map(
+                    lambda x: x.astype(cdt)
+                    if jnp.issubdtype(x.dtype, jnp.floating) else x, params)
+                images_c = images.astype(cdt)
+            else:
+                images_c = images
             probs, new_stats = encoders.apply_encoder_tagger(
-                params, state["stats"], images, train=True, dropout_rng=rng,
+                params, state["stats"], images_c, train=True, dropout_rng=rng,
                 dropout_rate=dropout_rate, arch=arch)
+            probs = probs.astype(jnp.float32)
             loss = losses.bce_loss(probs, batch["tags"], row_valid=valid)
             acc = _binary_accuracy(probs, batch["tags"], row_valid=valid)
             return loss, (acc, new_stats)
@@ -329,11 +346,20 @@ def make_tagger_train_step(tcfg: TrainConfig,
     return jax.jit(step, donate_argnums=(0,) if donate else ())
 
 
-def make_tagger_eval_step(arch: str = "resnet152"):
+def make_tagger_eval_step(arch: str = "resnet152",
+                          compute_dtype: str = "float32"):
+    cdt = jnp.dtype(compute_dtype)
+
     def step(params, stats, batch):
         images = prep_images(batch["images"])
+        if cdt != jnp.float32:
+            cast = lambda t: jax.tree.map(
+                lambda x: x.astype(cdt)
+                if jnp.issubdtype(x.dtype, jnp.floating) else x, t)
+            params, stats, images = cast(params), cast(stats), images.astype(cdt)
         probs, _ = encoders.apply_encoder_tagger(params, stats, images,
                                                  train=False, arch=arch)
+        probs = probs.astype(jnp.float32)
         valid = batch.get("valid")
         return {"loss": losses.bce_loss(probs, batch["tags"],
                                         row_valid=valid),

@@ -104,7 +104,9 @@ def main(data_cfg: DataConfig = DataConfig(),
     else:
         train_step = steps.make_tagger_train_step(
             tcfg, optimizer, tagger_cfg.dropout, arch=tagger_cfg.encoder_arch)
-    eval_step = steps.make_tagger_eval_step(arch=tagger_cfg.encoder_arch)
+    eval_step = steps.make_tagger_eval_step(
+        arch=tagger_cfg.encoder_arch,
+        compute_dtype=getattr(tcfg, "tagger_dtype", "float32"))
     # per-process input sharding (multi-host; single process == identity)
     proc = (dict(process_index=jax.process_index(),
                  process_count=jax.process_count())

@@ -183,6 +183,51 @@ def test_caption_loss_decreases_mixed_precision(data_env):
         < 0.05 * abs(first["float32"]) + 0.05, first
 
 
+def test_tagger_loss_decreases_mixed_precision(data_env):
+    """tagger_dtype="bfloat16" (bf16 ResNet fwd/bwd, f32 master weights):
+    the tagger step must still learn, master params AND BatchNorm running
+    stats stay f32, and the first-step loss must be close to the f32
+    path's (the tagger trains the encoder itself, so this is the
+    trained-model analogue of decoder_dtype)."""
+    import jax
+    import jax.numpy as jnp
+    from indonesian_image_captioning_tpu.core.prng import root_key
+    from indonesian_image_captioning_tpu.data.datasets import TagDataset
+    from indonesian_image_captioning_tpu.data import loader as loader_lib
+    from indonesian_image_captioning_tpu.train import tagger as tagger_train
+    from indonesian_image_captioning_tpu.train import steps
+
+    tagger_cfg = TaggerConfig(semantic_size=2, encoder_arch="resnet50")
+    optimizer = steps.make_optimizer(1e-3, 5.0)
+    ds = TagDataset(data_env.data_folder, data_env.data_name, "TRAIN")
+    batch = next(iter(loader_lib.iterate(ds, 4)))
+
+    first = {}
+    for dtype in ("float32", "bfloat16"):
+        tcfg = TrainConfig(batch_size=4, decoder_lr=1e-3, tagger_dtype=dtype)
+        state = tagger_train.init_state(root_key(0), tcfg, tagger_cfg,
+                                        optimizer)
+        step = steps.make_tagger_train_step(tcfg, optimizer,
+                                            dropout_rate=0.0,
+                                            arch="resnet50", donate=False)
+        hist = []
+        for i in range(8):
+            state, m = step(state, batch, jax.random.key(i))
+            hist.append(float(m["loss"]))
+        first[dtype] = hist[0]
+        assert hist[-1] < hist[0], (dtype, hist)
+        for x in jax.tree.leaves(state["params"]):
+            if jnp.issubdtype(x.dtype, jnp.floating):
+                assert x.dtype == jnp.float32, "master params must stay f32"
+        for x in jax.tree.leaves(state["stats"]):
+            assert x.dtype == jnp.float32, \
+                "BN running stats are f32 master state"
+    # bf16 rounds the conv stack's activations but train-mode BN keeps the
+    # scale controlled: same-ballpark first-step BCE as the f32 path
+    assert abs(first["bfloat16"] - first["float32"]) \
+        < 0.05 * abs(first["float32"]) + 0.05, first
+
+
 def _adam_count(opt_state) -> int:
     """Step count inside the (clamp, inject(adam)) optax chain state."""
     from indonesian_image_captioning_tpu.train.steps import is_inject_state
