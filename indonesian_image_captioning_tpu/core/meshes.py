@@ -64,6 +64,21 @@ def local_mesh_for_testing(n: int = 8) -> Mesh:
     return make_mesh((n, 1), devs[:n])
 
 
+def get_shard_map():
+    """(shard_map callable, name of its replication-check kwarg).
+
+    jax >= 0.8 exports jax.shard_map (check_vma); older versions only have
+    jax.experimental.shard_map.shard_map (check_rep)."""
+    import inspect
+    try:
+        from jax import shard_map  # jax >= 0.8
+    except ImportError:
+        from jax.experimental.shard_map import shard_map
+    flag = ("check_vma" if "check_vma"
+            in inspect.signature(shard_map).parameters else "check_rep")
+    return shard_map, flag
+
+
 def initialize_distributed(coordinator_address=None, num_processes=None,
                            process_id=None):
     """Multi-host bring-up: ``jax.distributed.initialize`` with env-var

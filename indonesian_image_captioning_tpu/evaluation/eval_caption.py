@@ -105,15 +105,12 @@ def evaluate(state: Dict, cfg: ModelConfig, data_cfg: DataConfig,
         # instead of hitting the SPMD partitioner as an opaque custom call
         # (which would replicate the batch).  The fused-vs-steps gate
         # evaluates on the LOCAL batch inside the shard.
-        import inspect
-
-        from jax.experimental.shard_map import shard_map
         # the decode is collective-free, so disable the varying-manual-
         # axes check (the while_loop carry starts from replicated
         # constants, which the checker rejects); kwarg name differs
         # across jax versions.
-        flag = ("check_vma" if "check_vma"
-                in inspect.signature(shard_map).parameters else "check_rep")
+        from ..core.meshes import get_shard_map
+        shard_map, flag = get_shard_map()
         run_beam = jax.jit(shard_map(
             _beam, mesh=mesh,
             in_specs=(P(), P(DATA_AXIS), P(DATA_AXIS)),

@@ -138,14 +138,19 @@ def _gate_factor(y):
 
 
 def resolve_train_scan_impl(cfg: ModelConfig, batch: int, dtype,
-                            enc_grad: bool) -> str:
+                            enc_grad: bool, spmd_mesh=None) -> str:
     """Resolve cfg.train_scan_impl ("auto" -> "fused" on TPU where the
     fused kernel pair is eligible, else "xla").  enc_grad=True (the
     fine-tune-encoder path) always forces XLA: the fused backward does
-    not produce a d_enc cotangent."""
+    not produce a d_enc cotangent.  With an SPMD mesh the kernel runs
+    per shard (shard_map island), so feasibility is judged on the
+    PER-SHARD batch."""
     impl = cfg.train_scan_impl
     if enc_grad:
         return "xla"
+    if spmd_mesh is not None:
+        from ..core.meshes import DATA_AXIS
+        batch = batch // spmd_mesh.shape[DATA_AXIS]
     if impl == "auto":
         from ..ops import train_pallas
         if (jax.default_backend() != "cpu"
@@ -158,7 +163,8 @@ def resolve_train_scan_impl(cfg: ModelConfig, batch: int, dtype,
 
 def teacher_forcing(params, cfg: ModelConfig, enc, tags, caps,
                     caplens, *, dropout_rng: Optional[jax.Array] = None,
-                    train: bool = False, enc_grad: bool = False):
+                    train: bool = False, enc_grad: bool = False,
+                    spmd_mesh=None):
     """Teacher-forced forward over the whole caption batch.
 
     enc:     (B, H, W, E) or (B, P, E) encoder output
@@ -183,11 +189,33 @@ def teacher_forcing(params, cfg: ModelConfig, enc, tags, caps,
     ts = jnp.arange(T)
 
     impl = resolve_train_scan_impl(cfg, enc_flat.shape[0], enc_flat.dtype,
-                                   enc_grad)
+                                   enc_grad, spmd_mesh=spmd_mesh)
     if impl == "fused":
         from ..ops import train_pallas
-        h_all, alphas = train_pallas.fused_teacher_forcing_scan(
-            params, cfg, enc_flat, tags, emb, span=cfg.train_span)
+
+        def run_fused(p, e, tg, em):
+            return train_pallas.fused_teacher_forcing_scan(
+                p, cfg, e, tg, em, span=cfg.train_span)
+
+        if spmd_mesh is not None:
+            # shard_map ISLAND inside the GSPMD-partitioned step: the
+            # fused kernel pair has no GSPMD partitioning rules, but its
+            # batch dimension is embarrassingly data-parallel — each
+            # shard scans its local rows with replicated weights (the
+            # standard pattern for composing Pallas kernels with pjit,
+            # e.g. splash attention).  Autodiff through the island psums
+            # the replicated-weight cotangents over the data axis
+            # automatically; everything outside (embedding lookup,
+            # vocab head, losses, Adam) stays GSPMD.
+            from jax.sharding import PartitionSpec as P
+
+            from ..core.meshes import DATA_AXIS, get_shard_map
+            shard_map, flag = get_shard_map()
+            run_fused = shard_map(
+                run_fused, mesh=spmd_mesh,
+                in_specs=(P(), P(DATA_AXIS), P(DATA_AXIS), P(DATA_AXIS)),
+                out_specs=(P(DATA_AXIS), P(DATA_AXIS)), **{flag: False})
+        h_all, alphas = run_fused(params, enc_flat, tags, emb)
         return _head_and_mask(params, cfg, h_all, alphas, ts, caplens,
                               dropout_rng, train)
 

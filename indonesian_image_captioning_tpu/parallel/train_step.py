@@ -36,13 +36,23 @@ def make_parallel_caption_train_step(cfg: ModelConfig, tcfg: TrainConfig,
     with DP batch sharding and optional TP vocab sharding."""
     import dataclasses
 
-    # The fused training-scan kernel pair (ops/train_pallas.py) has no
-    # GSPMD partitioning rules — under this plain-jit SPMD path the
-    # decoder keeps the XLA scan; the fused kernels serve the
-    # single-chip trainers (where the batch lives on one chip anyway).
-    cfg = dataclasses.replace(cfg, train_scan_impl="xla")
+    if shard_vocab:
+        # The fused training-scan kernel pair (ops/train_pallas.py) has
+        # no GSPMD partitioning rules, and under TP the embedding table
+        # is vocab-sharded — the decoder keeps the XLA scan, which the
+        # partitioner handles.
+        cfg = dataclasses.replace(cfg, train_scan_impl="xla")
+        spmd_mesh = None
+    else:
+        # Pure DP: the fused kernel runs PER SHARD through a shard_map
+        # island inside the partitioned step (models/decoders.py
+        # teacher_forcing) — each chip scans its local batch rows with
+        # replicated weights, and the island's autodiff psums the
+        # weight cotangents over the data axis.
+        spmd_mesh = mesh
     _, base = steps_lib.make_caption_train_step(cfg, tcfg, optimizer,
-                                                donate=False)
+                                                donate=False,
+                                                spmd_mesh=spmd_mesh)
     substate_sh = _substate_sharding(mesh, substate_template, shard_vocab)
     # P(DATA_AXIS) shards the leading (batch) dim regardless of rank
     data = lambda _ndim: NamedSharding(mesh, P(DATA_AXIS))

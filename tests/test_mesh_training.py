@@ -104,6 +104,72 @@ def test_mesh_dp_matches_single_device(corpus, tmp_path):
     np.testing.assert_allclose(a, b, rtol=2e-4, atol=2e-5)
 
 
+def test_mesh_dp_fused_island_matches_single_device():
+    """Pure-DP mesh training runs the fused training-scan kernel PER SHARD
+    through a shard_map island inside the GSPMD step (the kernel has no
+    partitioning rules of its own).  One step on an (8,1) mesh must match
+    one single-device step bit-for-semantics: per-row scan math is
+    batch-independent, the losses/Adam run globally outside the island,
+    and the island's autodiff psums the weight cotangents."""
+    import jax
+    import numpy as np
+
+    from indonesian_image_captioning_tpu.core.config import (
+        ModelConfig, TrainConfig)
+    from indonesian_image_captioning_tpu.core.meshes import make_mesh
+    from indonesian_image_captioning_tpu.models import decoders
+    from indonesian_image_captioning_tpu.parallel.train_step import (
+        make_parallel_caption_train_step)
+    from indonesian_image_captioning_tpu.train import steps
+
+    B = 8
+    # train_scan_impl="fused" explicitly: "auto" resolves to xla on the
+    # CPU test platform, but the kernel pair runs in interpret mode here
+    cfg = ModelConfig(model_type="attention_scn", vocab_size=50,
+                      embed_dim=24, attention_dim=40, decoder_dim=32,
+                      factored_dim=16, semantic_dim=10, encoder_dim=48,
+                      max_caption_len=8, train_span=4,
+                      train_scan_impl="fused")
+    tcfg = TrainConfig(batch_size=B, decoder_lr=1e-3)
+    opt = steps.make_optimizer(tcfg.decoder_lr, tcfg.grad_clip)
+    # host copies: the parallel step DONATES its substate argument, so
+    # each run gets fresh device uploads and the init stays comparable
+    params = jax.tree.map(np.asarray,
+                          decoders.init_decoder(jax.random.key(0), cfg))
+    ks = jax.random.split(jax.random.key(1), 4)
+    enc = np.asarray(jax.random.normal(ks[0], (B, 9, cfg.encoder_dim))) * 0.3
+    tags = np.asarray(jax.random.uniform(ks[1], (B, cfg.semantic_dim)))
+    caps = np.asarray(jax.random.randint(
+        ks[2], (B, cfg.max_caption_len), 1, cfg.vocab_size))
+    caplens = np.asarray(jax.random.randint(
+        ks[3], (B,), 2, cfg.max_caption_len + 1))
+    rng = jax.random.key(9)
+
+    def sub():
+        return {"params": params, "opt_state": opt.init(params)}
+
+    _, step1 = steps.make_caption_train_step(cfg, tcfg, opt, donate=False)
+    s1, m1 = step1(sub(), enc, tags, caps, caplens, rng)
+
+    mesh = make_mesh((8, 1))
+    stepm = make_parallel_caption_train_step(cfg, tcfg, opt, mesh, sub(),
+                                             shard_vocab=False)
+    sm, mm = stepm(sub(), enc, tags, caps, caplens, rng)
+
+    assert abs(float(m1["loss"]) - float(mm["loss"])) < 1e-5
+    for (path, a), b in zip(
+            jax.tree_util.tree_leaves_with_path(s1["params"]),
+            jax.tree.leaves(sm["params"])):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-4, atol=2e-5,
+            err_msg=jax.tree_util.keystr(path))
+    # the step actually trained (params moved off init)
+    moved = sum(float(np.abs(np.asarray(a) - np.asarray(b)).max())
+                for a, b in zip(jax.tree.leaves(params),
+                                jax.tree.leaves(sm["params"])))
+    assert moved > 0.0
+
+
 def test_eval_caption_on_mesh_matches_single_device(corpus, tmp_path):
     """Mesh-sharded TEST-split evaluation must produce the same scores as
     the single-device run (deterministic beam over identical batches)."""
