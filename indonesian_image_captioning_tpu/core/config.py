@@ -277,6 +277,14 @@ class TrainConfig:
     # models/resnet.py:_bn); the BCE/accuracy compute in f32 on cast-back
     # probabilities.  Default f32 = reference training numerics.
     tagger_dtype: str = "float32"
+    # Rematerialise ResNet bottlenecks in the DIFFERENTIATED encoder
+    # passes (tagger training and fine_tune_encoder): autodiff keeps only
+    # each block's input and recomputes the in-block convs/BNs backward
+    # (models/resnet.py _stage).  Costs ~one extra encoder forward of
+    # FLOPs per step but removes the per-block activation residency that
+    # OOMs HBM at 256px batch >= 128.  No numeric effect.  Off by
+    # default: the reference recipe's batch 32 fits without it.
+    encoder_remat: bool = False
     # Precompute the FROZEN encoder/tagger outputs once per unique image
     # and reuse them every epoch (train/feature_cache.py).  Both ResNets
     # run in eval mode when frozen, so their outputs are deterministic per

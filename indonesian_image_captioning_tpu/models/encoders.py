@@ -30,10 +30,12 @@ def init_encoder_caption(key, arch: str = "resnet152", dtype=jnp.float32):
 
 
 def apply_encoder_caption(params, stats, images, *, train: bool = False,
-                          enc_image_size: int = 14, arch: str = "resnet152"):
+                          enc_image_size: int = 14, arch: str = "resnet152",
+                          remat: bool = False):
     """images (B, H, W, 3) normalized -> (B, S, S, 2048), new_stats."""
     feat, new_stats = resnet.apply_resnet(
-        params["resnet"], stats["resnet"], images, train=train, arch=arch)
+        params["resnet"], stats["resnet"], images, train=train, arch=arch,
+        remat=remat)
     out = adaptive_avg_pool2d(feat, (enc_image_size, enc_image_size))
     return out, {"resnet": new_stats}
 
@@ -51,10 +53,11 @@ def init_encoder_tagger(key, cfg: TaggerConfig = TaggerConfig(),
 
 def apply_encoder_tagger(params, stats, images, *, train: bool = False,
                          dropout_rng=None, dropout_rate: float = 0.15,
-                         arch: str = "resnet152"):
+                         arch: str = "resnet152", remat: bool = False):
     """images (B, H, W, 3) -> tag probabilities (B, semantic_size), stats."""
     feat, new_stats = resnet.apply_resnet(
-        params["resnet"], stats["resnet"], images, train=train, arch=arch)
+        params["resnet"], stats["resnet"], images, train=train, arch=arch,
+        remat=remat)
     pooled = feat.mean(axis=(1, 2))                     # global avg pool
     if train and dropout_rng is not None:
         pooled = dropout(dropout_rng, pooled, dropout_rate, deterministic=False)

@@ -184,15 +184,26 @@ def _bottleneck(x, bp, bs, stride: int, train: bool):
     return jax.nn.relu(out + identity), new_s
 
 
-def _stage(x, sp, ss, stride: int, train: bool):
-    """First block explicit (stride/downsample), remaining blocks scanned."""
-    y, first_s = _bottleneck(x, sp["first"], ss["first"], stride, train)
+def _stage(x, sp, ss, stride: int, train: bool, remat: bool = False):
+    """First block explicit (stride/downsample), remaining blocks scanned.
+
+    remat=True rematerialises each bottleneck: autodiff saves only the
+    block INPUTS (the scan carry) and recomputes the in-block
+    convolutions/BNs in the backward pass.  Without it, differentiating
+    through the scanned stages keeps every block's intermediate
+    activations live — at 256px batch 128 that exceeds HBM (the early
+    stages hold (B, 64, 64, 256) f32 tensors per block).  No numeric
+    effect; ~one extra forward of FLOPs in the backward.
+    """
+    block = (jax.checkpoint(_bottleneck, static_argnums=(3, 4))
+             if remat else _bottleneck)
+    y, first_s = block(x, sp["first"], ss["first"], stride, train)
     if sp["rest"] is None:
         return y, {"first": first_s, "rest": None}
 
     def body(carry, pbs):
         bp, bs = pbs
-        out, ns = _bottleneck(carry, bp, bs, 1, train)
+        out, ns = block(carry, bp, bs, 1, train)
         return out, ns
 
     y, rest_s = jax.lax.scan(body, y, (sp["rest"], ss["rest"]))
@@ -200,11 +211,12 @@ def _stage(x, sp, ss, stride: int, train: bool):
 
 
 def apply_resnet(params, stats, x, *, train: bool = False,
-                 arch: str = "resnet152"):
+                 arch: str = "resnet152", remat: bool = False):
     """x: (B, H, W, 3) NHWC float -> feature map (B, H/32, W/32, 2048).
 
     Returns (features, new_batch_stats).  The classifier head is omitted
     (the reference strips it: encoders/caption.py:21, encoders/tagger.py:22).
+    remat: rematerialise bottlenecks under autodiff (see _stage).
     """
     blocks = BLOCKS[arch]
     new_stats: Dict[str, Any] = {}
@@ -215,7 +227,8 @@ def apply_resnet(params, stats, x, *, train: bool = False,
     for stage in range(1, len(blocks) + 1):
         stride = 1 if stage == 1 else 2
         y, new_stats[f"layer{stage}"] = _stage(
-            y, params[f"layer{stage}"], stats[f"layer{stage}"], stride, train)
+            y, params[f"layer{stage}"], stats[f"layer{stage}"], stride,
+            train, remat)
     return y, new_stats
 
 

@@ -240,7 +240,8 @@ def make_caption_finetune_train_step(
         def loss_fn(dec_params, enc_params):
             enc_out, new_enc_stats = encoders.apply_encoder_caption(
                 enc_params, state["encoder_stats"], images, train=True,
-                enc_image_size=cfg.enc_image_size, arch=cfg.encoder_arch)
+                enc_image_size=cfg.enc_image_size, arch=cfg.encoder_arch,
+                remat=bool(getattr(tcfg, "encoder_remat", False)))
             # enc_grad: this loss differentiates THROUGH enc_out into the
             # encoder — the fused training scan emits no d_enc cotangent,
             # so the fine-tune path must keep the XLA scan.
@@ -307,9 +308,13 @@ def make_tagger_train_step(tcfg: TrainConfig,
     params are cast inside the loss so grads return f32 for the
     clamp/Adam chain; BN batch stats reduce in f32 (resnet._bn) so the
     running-stat EMA stays full precision; probs are cast back to f32
-    before the BCE clip (1 - 1e-7 is a no-op in bf16)."""
+    before the BCE clip (1 - 1e-7 is a no-op in bf16).
+
+    tcfg.encoder_remat=True rematerialises the ResNet bottlenecks in the
+    backward (needed at 256px batch >= 128, see resnet._stage)."""
     cdt = jnp.dtype(getattr(tcfg, "tagger_dtype", "float32"))
     mixed = cdt != jnp.float32
+    remat = bool(getattr(tcfg, "encoder_remat", False))
 
     def step(state, batch, rng):
         images = prep_images(batch["images"])
@@ -325,7 +330,7 @@ def make_tagger_train_step(tcfg: TrainConfig,
                 images_c = images
             probs, new_stats = encoders.apply_encoder_tagger(
                 params, state["stats"], images_c, train=True, dropout_rng=rng,
-                dropout_rate=dropout_rate, arch=arch)
+                dropout_rate=dropout_rate, arch=arch, remat=remat)
             probs = probs.astype(jnp.float32)
             loss = losses.bce_loss(probs, batch["tags"], row_valid=valid)
             acc = _binary_accuracy(probs, batch["tags"], row_valid=valid)

@@ -228,6 +228,53 @@ def test_tagger_loss_decreases_mixed_precision(data_env):
         < 0.05 * abs(first["float32"]) + 0.05, first
 
 
+def test_tagger_encoder_remat_matches(data_env):
+    """encoder_remat=True (rematerialised bottleneck backward) must be a
+    pure memory/scheduling change: same loss and same updated params as
+    the default path."""
+    import jax
+    import numpy as np
+    from indonesian_image_captioning_tpu.core.prng import root_key
+    from indonesian_image_captioning_tpu.data.datasets import TagDataset
+    from indonesian_image_captioning_tpu.data import loader as loader_lib
+    from indonesian_image_captioning_tpu.train import tagger as tagger_train
+    from indonesian_image_captioning_tpu.train import steps
+
+    tagger_cfg = TaggerConfig(semantic_size=2, encoder_arch="resnet50")
+    optimizer = steps.make_optimizer(1e-3, 5.0)
+    ds = TagDataset(data_env.data_folder, data_env.data_name, "TRAIN")
+    batch = next(iter(loader_lib.iterate(ds, 4)))
+
+    import jax.numpy as jnp
+    from indonesian_image_captioning_tpu.models import encoders
+    from indonesian_image_captioning_tpu.ops import losses as losses_lib
+
+    tcfg = TrainConfig(batch_size=4)
+    state = tagger_train.init_state(root_key(0), tcfg, tagger_cfg, optimizer)
+    images = steps.prep_images(batch["images"])
+
+    def loss_fn(params, remat):
+        probs, _ = encoders.apply_encoder_tagger(
+            params, state["stats"], images, train=True,
+            dropout_rng=jax.random.key(3), dropout_rate=0.15,
+            arch="resnet50", remat=remat)
+        return losses_lib.bce_loss(probs, batch["tags"])
+
+    results = {remat: jax.value_and_grad(loss_fn)(state["params"], remat)
+               for remat in (False, True)}
+    assert abs(float(results[True][0] - results[False][0])) < 1e-6
+    # gradients agree up to float reassociation of the recomputed backward
+    for (path, a), b in zip(
+            jax.tree_util.tree_leaves_with_path(results[False][1]),
+            jax.tree.leaves(results[True][1])):
+        scale = float(jnp.abs(a).max())
+        if scale == 0.0:
+            assert float(jnp.abs(b).max()) == 0.0
+            continue
+        rel = float(jnp.abs(a - b).max()) / scale
+        assert rel < 1e-3, f"{jax.tree_util.keystr(path)}: rel={rel}"
+
+
 def _adam_count(opt_state) -> int:
     """Step count inside the (clamp, inject(adam)) optax chain state."""
     from indonesian_image_captioning_tpu.train.steps import is_inject_state

@@ -30,6 +30,9 @@ def main():
     ap.add_argument("--semantic", type=int, default=1000)
     ap.add_argument("--image-size", type=int, default=256)
     ap.add_argument("--iters", type=int, default=10)
+    ap.add_argument("--remat", action="store_true",
+                    help="TrainConfig.encoder_remat: rematerialised "
+                         "bottleneck backward (required at 256px B>=128)")
     ap.add_argument("--rounds", type=int, default=2,
                     help="interleaved A/B rounds per batch size")
     args = ap.parse_args()
@@ -60,7 +63,8 @@ def main():
         key = jax.random.key(1)
         runs = {}
         for dt in dtypes:
-            tcfg = TrainConfig(batch_size=B, tagger_dtype=dt)
+            tcfg = TrainConfig(batch_size=B, tagger_dtype=dt,
+                               encoder_remat=args.remat)
             state = jax.device_put(tt.init_state(
                 root_key(0), tcfg, tagger_cfg, opt))
             step = steps.make_tagger_train_step(
