@@ -143,6 +143,72 @@ def e2e_main(batch: int = 64):
     }))
 
 
+def latency_main(batch: int = 1):
+    """Single-request serving LATENCY: one uint8 image -> ResNet-152
+    encode + tag -> beam-5 caption, end to end on one chip.  Reports
+    median / p90 wall ms over repeated single calls (throughput mode
+    above amortises over a batch; this is the interactive-inference cost
+    a reference user pays per `python inference.py -i img`,
+    /root/reference/inference.py:52-165)."""
+    from indonesian_image_captioning_tpu.core import runtime
+    runtime.setup()
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from indonesian_image_captioning_tpu.core.config import (
+        BeamConfig, ModelConfig)
+    from indonesian_image_captioning_tpu.core.prng import root_key
+    from indonesian_image_captioning_tpu.decode.api import caption_beam_search
+    from indonesian_image_captioning_tpu.models import encoders
+    from indonesian_image_captioning_tpu.train import caption as caption_train
+    from indonesian_image_captioning_tpu.train import steps
+    from indonesian_image_captioning_tpu.train.steps import prep_images
+
+    V = 6763
+    cfg = ModelConfig(model_type="attention_scn", vocab_size=V,
+                      dtype="bfloat16")
+    opt = steps.make_optimizer(4e-4, 5.0)
+    state = caption_train.init_state(root_key(0), cfg, opt)
+    bf = jnp.bfloat16
+    state = jax.device_put(jax.tree.map(
+        lambda x: x.astype(bf)
+        if jnp.issubdtype(x.dtype, jnp.floating) else x, state))
+    B = batch
+    images = jax.device_put(np.random.default_rng(0).integers(
+        0, 256, (B, 3, 256, 256), np.uint8))
+
+    @jax.jit
+    def serve(st, images_u8):
+        x = prep_images(images_u8).astype(bf)
+        enc_out = encoders.apply_encoder_caption(
+            st["encoder"], st["encoder_stats"], x, train=False,
+            enc_image_size=cfg.enc_image_size, arch=cfg.encoder_arch)[0]
+        tags = encoders.apply_encoder_tagger(
+            st["tagger"], st["tagger_stats"], x, train=False,
+            arch=cfg.encoder_arch)[0]
+        out = caption_beam_search(st["params"], cfg, enc_out.astype(bf),
+                                  tags.astype(bf), start_id=V - 2,
+                                  end_id=V - 1,
+                                  beam_cfg=BeamConfig(beam_size=5))
+        return out["sequences"], out["lengths"]
+
+    jax.device_get(serve(state, images))  # compile + warm
+    times = []
+    for _ in range(30):
+        t0 = time.time()
+        jax.device_get(serve(state, images)[1])
+        times.append((time.time() - t0) * 1e3)
+    times.sort()
+    p50 = times[len(times) // 2]
+    p90 = times[int(len(times) * 0.9)]
+    print(json.dumps({
+        "metric": "serve_latency_ms_beam5",
+        "value": round(p50, 2), "unit": "ms (p50, full 51-step worst case)",
+        "p90_ms": round(p90, 2), "batch": B,
+        "vs_baseline": round((16070 / B) / p50, 1),
+    }))
+
+
 def main(batch: int = 1024, model: str = "attention_scn"):
     from indonesian_image_captioning_tpu.core import runtime
     runtime.setup()
@@ -200,9 +266,11 @@ def main(batch: int = 1024, model: str = "attention_scn"):
 
 if __name__ == "__main__":
     ap = argparse.ArgumentParser()
-    ap.add_argument("--mode", choices=("decode", "e2e"), default="decode",
+    ap.add_argument("--mode", choices=("decode", "e2e", "latency"),
+                    default="decode",
                     help="decode = headline captions/s (driver default); "
-                         "e2e = uint8 image -> caption serving + MFU")
+                         "e2e = uint8 image -> caption serving + MFU; "
+                         "latency = single-request image -> caption ms")
     # saturation with the fused per-step kernel (decode_impl auto ->
     # "fused_step", 2026-08-17): 1024 -> 5243, 2048 -> 5799, 4096 -> 5691
     # captions/s.  2048 is the sweep optimum and compiles in ~1 min cold
@@ -219,5 +287,7 @@ if __name__ == "__main__":
     args = ap.parse_args()
     if args.mode == "e2e":
         e2e_main(args.batch or 256)
+    elif args.mode == "latency":
+        latency_main(args.batch or 1)
     else:
         main(args.batch or 2048, args.model)

@@ -47,12 +47,17 @@ def build_parser() -> argparse.ArgumentParser:
                         "bf16 ResNet fwd/bwd with f32 master weights and "
                         "f32 BatchNorm statistics (TrainConfig.tagger_dtype; "
                         "default float32 for reference parity)")
-    p.add_argument("--encoder_remat", action="store_true",
+    p.add_argument("--encoder_remat", nargs="?", const="blocks",
+                   default=None, choices=("blocks", "convs"),
                    help="rematerialise ResNet bottlenecks in the "
                         "differentiated encoder passes (tagger training / "
-                        "--fine_tune_encoder): ~1 extra encoder forward of "
-                        "FLOPs per step, removes the activation residency "
-                        "that exceeds HBM at 256px batch >= 128")
+                        "--fine_tune_encoder); removes the activation "
+                        "residency that exceeds HBM at 256px batch >= 128. "
+                        "'blocks' (the bare-flag default) recomputes whole "
+                        "bottlenecks backward (~1 extra encoder forward of "
+                        "FLOPs); 'convs' saves the conv outputs too and "
+                        "recomputes only BN/relu (more memory, near-zero "
+                        "recompute)")
     p.add_argument("--cache_features", action="store_true",
                    help="precompute the frozen encoder/tagger outputs once "
                         "per unique image and reuse them every epoch "
@@ -126,8 +131,8 @@ def _override(tcfg: TrainConfig, args) -> TrainConfig:
         kw["decoder_dtype"] = args.decoder_dtype
     if getattr(args, "tagger_dtype", None):
         kw["tagger_dtype"] = args.tagger_dtype
-    if getattr(args, "encoder_remat", False):
-        kw["encoder_remat"] = True
+    if getattr(args, "encoder_remat", None):
+        kw["encoder_remat"] = args.encoder_remat
     if getattr(args, "cache_features", False):
         kw["cache_features"] = True
     if getattr(args, "cache_dtype", None):

@@ -10,7 +10,7 @@ from __future__ import annotations
 
 import dataclasses
 import json
-from typing import Optional, Tuple
+from typing import Optional, Tuple, Union
 
 
 @dataclasses.dataclass(frozen=True)
@@ -278,13 +278,17 @@ class TrainConfig:
     # probabilities.  Default f32 = reference training numerics.
     tagger_dtype: str = "float32"
     # Rematerialise ResNet bottlenecks in the DIFFERENTIATED encoder
-    # passes (tagger training and fine_tune_encoder): autodiff keeps only
-    # each block's input and recomputes the in-block convs/BNs backward
-    # (models/resnet.py _stage).  Costs ~one extra encoder forward of
-    # FLOPs per step but removes the per-block activation residency that
-    # OOMs HBM at 256px batch >= 128.  No numeric effect.  Off by
-    # default: the reference recipe's batch 32 fits without it.
-    encoder_remat: bool = False
+    # passes (tagger training and fine_tune_encoder), models/resnet.py
+    # _remat_block.  True or "blocks": autodiff keeps only each block's
+    # input and recomputes the in-block convs/BNs backward (~one extra
+    # encoder forward of FLOPs per step, smallest memory).  "convs":
+    # additionally saves the four in-block conv outputs and recomputes
+    # only the cheap BN/relu elementwise work (~2.5x the activation
+    # memory of "blocks", near-zero recompute FLOPs).  Either removes the
+    # per-block activation residency that OOMs HBM at 256px batch >= 128.
+    # No numeric effect.  Off by default: the reference recipe's batch 32
+    # fits without it.
+    encoder_remat: Union[bool, str] = False
     # Precompute the FROZEN encoder/tagger outputs once per unique image
     # and reuse them every epoch (train/feature_cache.py).  Both ResNets
     # run in eval mode when frozen, so their outputs are deterministic per

@@ -165,38 +165,58 @@ def _max_pool_3x3s2(x):
 
 
 def _bottleneck(x, bp, bs, stride: int, train: bool):
+    from jax.ad_checkpoint import checkpoint_name
     new_s: Dict[str, Any] = {}
-    out, new_s["bn1"] = _bn(_conv(x, bp["conv1"], 1, "VALID"), bp["bn1"],
-                            bs["bn1"], train)
+    out = checkpoint_name(_conv(x, bp["conv1"], 1, "VALID"), "rn_conv")
+    out, new_s["bn1"] = _bn(out, bp["bn1"], bs["bn1"], train)
     out = jax.nn.relu(out)
-    out, new_s["bn2"] = _bn(
-        _conv(out, bp["conv2"], stride, [(1, 1), (1, 1)]), bp["bn2"],
-        bs["bn2"], train)
+    out = checkpoint_name(
+        _conv(out, bp["conv2"], stride, [(1, 1), (1, 1)]), "rn_conv")
+    out, new_s["bn2"] = _bn(out, bp["bn2"], bs["bn2"], train)
     out = jax.nn.relu(out)
-    out, new_s["bn3"] = _bn(_conv(out, bp["conv3"], 1, "VALID"), bp["bn3"],
-                            bs["bn3"], train)
+    out = checkpoint_name(_conv(out, bp["conv3"], 1, "VALID"), "rn_conv")
+    out, new_s["bn3"] = _bn(out, bp["bn3"], bs["bn3"], train)
     if "downsample_conv" in bp:
+        identity = checkpoint_name(
+            _conv(x, bp["downsample_conv"], stride, "VALID"), "rn_conv")
         identity, new_s["downsample_bn"] = _bn(
-            _conv(x, bp["downsample_conv"], stride, "VALID"),
-            bp["downsample_bn"], bs["downsample_bn"], train)
+            identity, bp["downsample_bn"], bs["downsample_bn"], train)
     else:
         identity = x
     return jax.nn.relu(out + identity), new_s
 
 
-def _stage(x, sp, ss, stride: int, train: bool, remat: bool = False):
+def _remat_block(remat):
+    """remat=False|True|"blocks"|"convs" -> the (possibly rematerialised)
+    bottleneck fn.
+
+    "blocks" (== True, the original mode): autodiff saves only each
+    block's INPUT and recomputes the whole block — convolutions included —
+    in the backward pass (~one extra forward of conv FLOPs).
+    "convs": autodiff additionally saves the four in-block conv outputs
+    (jax.checkpoint_policies.save_only_these_names) and recomputes only
+    the cheap BN/relu elementwise work backward — ~2.5x the activation
+    memory of "blocks" but almost no recompute FLOPs.  Both modes are
+    numerically identical to no-remat.
+    """
+    if not remat:
+        return _bottleneck
+    if remat == "convs":
+        policy = jax.checkpoint_policies.save_only_these_names("rn_conv")
+        return jax.checkpoint(_bottleneck, static_argnums=(3, 4),
+                              policy=policy)
+    return jax.checkpoint(_bottleneck, static_argnums=(3, 4))
+
+
+def _stage(x, sp, ss, stride: int, train: bool, remat=False):
     """First block explicit (stride/downsample), remaining blocks scanned.
 
-    remat=True rematerialises each bottleneck: autodiff saves only the
-    block INPUTS (the scan carry) and recomputes the in-block
-    convolutions/BNs in the backward pass.  Without it, differentiating
-    through the scanned stages keeps every block's intermediate
-    activations live — at 256px batch 128 that exceeds HBM (the early
-    stages hold (B, 64, 64, 256) f32 tensors per block).  No numeric
-    effect; ~one extra forward of FLOPs in the backward.
+    remat rematerialises each bottleneck (see _remat_block): without it,
+    differentiating through the scanned stages keeps every block's
+    intermediate activations live — at 256px batch 128 that exceeds HBM
+    (the early stages hold (B, 64, 64, 256) f32 tensors per block).
     """
-    block = (jax.checkpoint(_bottleneck, static_argnums=(3, 4))
-             if remat else _bottleneck)
+    block = _remat_block(remat)
     y, first_s = block(x, sp["first"], ss["first"], stride, train)
     if sp["rest"] is None:
         return y, {"first": first_s, "rest": None}
@@ -211,7 +231,7 @@ def _stage(x, sp, ss, stride: int, train: bool, remat: bool = False):
 
 
 def apply_resnet(params, stats, x, *, train: bool = False,
-                 arch: str = "resnet152", remat: bool = False):
+                 arch: str = "resnet152", remat=False):
     """x: (B, H, W, 3) NHWC float -> feature map (B, H/32, W/32, 2048).
 
     Returns (features, new_batch_stats).  The classifier head is omitted

@@ -241,7 +241,7 @@ def make_caption_finetune_train_step(
             enc_out, new_enc_stats = encoders.apply_encoder_caption(
                 enc_params, state["encoder_stats"], images, train=True,
                 enc_image_size=cfg.enc_image_size, arch=cfg.encoder_arch,
-                remat=bool(getattr(tcfg, "encoder_remat", False)))
+                remat=getattr(tcfg, "encoder_remat", False))
             # enc_grad: this loss differentiates THROUGH enc_out into the
             # encoder — the fused training scan emits no d_enc cotangent,
             # so the fine-tune path must keep the XLA scan.
@@ -314,7 +314,7 @@ def make_tagger_train_step(tcfg: TrainConfig,
     backward (needed at 256px batch >= 128, see resnet._stage)."""
     cdt = jnp.dtype(getattr(tcfg, "tagger_dtype", "float32"))
     mixed = cdt != jnp.float32
-    remat = bool(getattr(tcfg, "encoder_remat", False))
+    remat = getattr(tcfg, "encoder_remat", False)
 
     def step(state, batch, rng):
         images = prep_images(batch["images"])

@@ -261,18 +261,21 @@ def test_tagger_encoder_remat_matches(data_env):
         return losses_lib.bce_loss(probs, batch["tags"])
 
     results = {remat: jax.value_and_grad(loss_fn)(state["params"], remat)
-               for remat in (False, True)}
-    assert abs(float(results[True][0] - results[False][0])) < 1e-6
-    # gradients agree up to float reassociation of the recomputed backward
-    for (path, a), b in zip(
-            jax.tree_util.tree_leaves_with_path(results[False][1]),
-            jax.tree.leaves(results[True][1])):
-        scale = float(jnp.abs(a).max())
-        if scale == 0.0:
-            assert float(jnp.abs(b).max()) == 0.0
-            continue
-        rel = float(jnp.abs(a - b).max()) / scale
-        assert rel < 1e-3, f"{jax.tree_util.keystr(path)}: rel={rel}"
+               for remat in (False, True, "convs")}
+    for remat in (True, "convs"):
+        assert abs(float(results[remat][0] - results[False][0])) < 1e-6
+        # gradients agree up to float reassociation of the recomputed
+        # backward
+        for (path, a), b in zip(
+                jax.tree_util.tree_leaves_with_path(results[False][1]),
+                jax.tree.leaves(results[remat][1])):
+            scale = float(jnp.abs(a).max())
+            if scale == 0.0:
+                assert float(jnp.abs(b).max()) == 0.0
+                continue
+            rel = float(jnp.abs(a - b).max()) / scale
+            assert rel < 1e-3, f"{remat} {jax.tree_util.keystr(path)}: " \
+                               f"rel={rel}"
 
 
 def _adam_count(opt_state) -> int:

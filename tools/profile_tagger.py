@@ -30,9 +30,10 @@ def main():
     ap.add_argument("--semantic", type=int, default=1000)
     ap.add_argument("--image-size", type=int, default=256)
     ap.add_argument("--iters", type=int, default=10)
-    ap.add_argument("--remat", action="store_true",
-                    help="TrainConfig.encoder_remat: rematerialised "
-                         "bottleneck backward (required at 256px B>=128)")
+    ap.add_argument("--remat", default="off",
+                    help="comma-separated TrainConfig.encoder_remat "
+                         "contenders from {off, blocks, convs} — some mode "
+                         "is required at 256px B>=128")
     ap.add_argument("--rounds", type=int, default=2,
                     help="interleaved A/B rounds per batch size")
     args = ap.parse_args()
@@ -63,25 +64,27 @@ def main():
         key = jax.random.key(1)
         runs = {}
         for dt in dtypes:
-            tcfg = TrainConfig(batch_size=B, tagger_dtype=dt,
-                               encoder_remat=args.remat)
-            state = jax.device_put(tt.init_state(
-                root_key(0), tcfg, tagger_cfg, opt))
-            step = steps.make_tagger_train_step(
-                tcfg, opt, tagger_cfg.dropout, arch=args.arch, donate=False)
-            # compile + warm
-            _, m = step(state, batch, key)
-            float(jax.device_get(m["loss"]))
-            runs[dt] = (state, step)
+            for rm in args.remat.split(","):
+                remat = False if rm == "off" else rm
+                tcfg = TrainConfig(batch_size=B, tagger_dtype=dt,
+                                   encoder_remat=remat)
+                state = jax.device_put(tt.init_state(
+                    root_key(0), tcfg, tagger_cfg, opt))
+                step = steps.make_tagger_train_step(
+                    tcfg, opt, tagger_cfg.dropout, arch=args.arch,
+                    donate=False)
+                # compile + warm
+                _, m = step(state, batch, key)
+                float(jax.device_get(m["loss"]))
+                runs[dt, rm] = (state, step)
         for r in range(args.rounds):
-            for dt in dtypes:
-                state, step = runs[dt]
+            for (dt, rm), (state, step) in runs.items():
                 t0 = time.time()
                 for _ in range(args.iters):
                     _, m = step(state, batch, key)
                     loss = float(jax.device_get(m["loss"]))
                 d = (time.time() - t0) / args.iters
-                print(f"B={B} tagger_dtype={dt:9s} round {r}: "
+                print(f"B={B} tagger_dtype={dt:9s} remat={rm:6s} round {r}: "
                       f"{d * 1e3:8.1f} ms/batch = {B / d:7.1f} imgs/s "
                       f"(loss {loss:.4f})")
 
