@@ -67,6 +67,14 @@ def build_parser() -> argparse.ArgumentParser:
                    choices=("float32", "bfloat16"),
                    help="feature-cache storage dtype (bfloat16 halves the "
                         "cache memory at one rounding of the features)")
+    p.add_argument("--device_images", default=None,
+                   choices=("auto", "on", "off"),
+                   help="keep each split's uint8 images resident in HBM and "
+                        "gather batch rows by a jitted index lookup instead "
+                        "of copying pixels host->device every step "
+                        "(TrainConfig.device_images; bit-identical rows; "
+                        "'auto' falls back to the host loader when the "
+                        "split exceeds TrainConfig.device_images_budget_gb)")
     p.add_argument("--mesh", default=None, metavar="D,M",
                    help="device mesh as data,model axis sizes, e.g. 8,1 for "
                         "pure DP or 4,2 for DP+vocab-sharded TP; default "
@@ -137,6 +145,8 @@ def _override(tcfg: TrainConfig, args) -> TrainConfig:
         kw["cache_features"] = True
     if getattr(args, "cache_dtype", None):
         kw["cache_dtype"] = args.cache_dtype
+    if getattr(args, "device_images", None):
+        kw["device_images"] = args.device_images
     if getattr(args, "mesh", None):
         parts = tuple(int(x) for x in args.mesh.split(","))
         if len(parts) == 1:

@@ -310,6 +310,20 @@ class TrainConfig:
     # back to host RAM.  v5e has 16 GiB — 6 leaves room for the decoder
     # step at large batch.
     cache_device_budget_gb: float = 6.0
+    # Keep each split's raw uint8 images RESIDENT IN HBM and gather batch
+    # rows by a jitted index lookup (data/device_store.py), instead of
+    # copying every batch's pixels host->device each step (the reference's
+    # per-batch .to(device), trains/attention_scn.py:208-210).  Serves the
+    # recipes that consume pixels every step: tagger training, uncached
+    # caption training, fine_tune_encoder.  The flagship flickr10k TRAIN
+    # split is ~2 GiB uint8 — it fits next to the model.  Bit-identical to
+    # the host path (same uint8 rows).  "auto" = on when the split fits
+    # device_images_budget_gb; "on" = required (raise if it cannot);
+    # "off" = always host loader.
+    device_images: str = "auto"
+    # HBM budget for the device image store(s), in GiB (TRAIN + VAL
+    # together).
+    device_images_budget_gb: float = 4.0
     # Calibrate the FROZEN caption encoder's BatchNorm running stats with
     # this many train-mode EMA passes over training batches before epoch 0.
     # Needed when the encoder is NOT pretrained: at random init the running

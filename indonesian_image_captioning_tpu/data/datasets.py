@@ -130,10 +130,26 @@ class TagDataset:
                                  "hdf5"), "r") as t:
             self.tags = t["tags"][...]
             self.tag_size = int(t.attrs["tag_size"])
+        # Set False when batches don't need pixels (e.g. a device-resident
+        # image store serves them by index, data/device_store.py).
+        self.load_images = True
 
     def __len__(self) -> int:
         return self.tags.shape[0]
 
+    @property
+    def num_images(self) -> int:
+        return self._images.shape[0]
+
+    def image(self, img_idx: int) -> np.ndarray:
+        return np.asarray(self._images[img_idx])
+
+    def gather_images(self, img_idx: np.ndarray) -> np.ndarray:
+        """Batch fetch of image rows (u8 CHW) by image index."""
+        return _fancy_index(self._images, img_idx)
+
     def gather(self, idx: np.ndarray) -> Dict[str, np.ndarray]:
-        return {"images": _fancy_index(self._images, idx),
-                "tags": self.tags[idx]}
+        batch = {"tags": self.tags[idx]}
+        if self.load_images:
+            batch["images"] = _fancy_index(self._images, idx)
+        return batch

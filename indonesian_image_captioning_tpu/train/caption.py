@@ -246,11 +246,28 @@ def main(model_type: str,
                 return cache.lookup(batch["index"])
             return _to_f32(batch["features"], batch["ftags"])
 
+    # -- device image store: raw pixels resident in HBM ---------------------
+    # Only the paths that consume pixels every step (uncached training,
+    # fine_tune_encoder) need it; with cache_features the batches carry no
+    # pixels at all (data/device_store.py; bit-identical rows).
+    train_store = val_store = None
+    if not tcfg.cache_features:
+        from ..data import device_store
+        train_store, val_store = device_store.build_pair(
+            tcfg, train_ds, val_ds, mesh, batch_shard, log)
+    cpi = train_ds.cpi
+
+    def with_pixels(store, batch):
+        if store is None:
+            return batch
+        return {**batch, "images": store.lookup(batch["index"], cpi)}
+
     def train_epoch(epoch: int):
         printer = EpochPrinter("Epoch", epoch, n_train, tcfg.print_freq, log)
         it = loader_lib.prefetch_to_device(loader_lib.iterate(
             train_it_ds, tcfg.batch_size, shuffle=True, seed=tcfg.seed,
-            epoch=epoch, with_index=train_cache is not None, **proc),
+            epoch=epoch, with_index=(train_cache is not None
+                                     or train_store is not None), **proc),
             sharding=batch_shard)
         # metrics stay on device between print boundaries: a per-step sync
         # serializes the remote dispatch pipeline (~2x step time)
@@ -267,6 +284,7 @@ def main(model_type: str,
 
         for i, batch in enumerate(it):
             printer.data_loaded()
+            batch = with_pixels(train_store, batch)
             rng = per_step(drop_key, epoch * n_train + i)
             st = state_box["state"]
             if tcfg.fine_tune_encoder:
@@ -297,10 +315,12 @@ def main(model_type: str,
         printer = EpochPrinter("Validation", epoch, n_val, tcfg.print_freq, log)
         references, hypotheses = [], []
         it = loader_lib.prefetch_to_device(loader_lib.iterate(
-            val_it_ds, tcfg.batch_size, with_index=val_cache is not None,
+            val_it_ds, tcfg.batch_size,
+            with_index=(val_cache is not None or val_store is not None),
             **proc), sharding=batch_shard)
         for i, batch in enumerate(it):
             printer.data_loaded()
+            batch = with_pixels(val_store, batch)
             st = state_box["state"]
             if val_cache is not None:
                 enc_out, tags = cached_encode(val_cache, batch)

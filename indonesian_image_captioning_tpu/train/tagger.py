@@ -115,13 +115,22 @@ def main(data_cfg: DataConfig = DataConfig(),
     n_train = loader_lib.num_batches(len(train_ds), tcfg.batch_size)
     n_val = loader_lib.num_batches(len(val_ds), tcfg.batch_size)
 
+    # -- device image store: pixels resident in HBM, batches carry indices -
+    # (data/device_store.py; bit-identical rows, removes the per-step
+    # host->device pixel copy — the tagger recipe consumes raw pixels every
+    # step, so it benefits the most)
+    from ..data import device_store
+    train_store, val_store = device_store.build_pair(
+        tcfg, train_ds, val_ds, mesh, batch_shard, log)
+
     state_box = {"state": state}
 
     def train_epoch(epoch: int):
         printer = EpochPrinter("Epoch", epoch, n_train, tcfg.print_freq, log)
         it = loader_lib.prefetch_to_device(loader_lib.iterate(
             train_ds, tcfg.batch_size, shuffle=True, seed=tcfg.seed,
-            epoch=epoch, **proc), sharding=batch_shard)
+            epoch=epoch, with_index=train_store is not None, **proc),
+            sharding=batch_shard)
         pending = []
 
         def flush():
@@ -134,6 +143,12 @@ def main(data_cfg: DataConfig = DataConfig(),
 
         for i, batch in enumerate(it):
             printer.data_loaded()
+            if train_store is not None:
+                # the step's sharding template has no "index" leaf — it is
+                # consumed entirely by the lookup
+                images = train_store.lookup(batch["index"])
+                batch = {k: v for k, v in batch.items() if k != "index"}
+                batch["images"] = images
             rng = per_step(drop_key, epoch * n_train + i)
             state_box["state"], m = train_step(state_box["state"], batch, rng)
             pending.append((i, m))
@@ -145,9 +160,14 @@ def main(data_cfg: DataConfig = DataConfig(),
     def validate(epoch: int) -> float:
         printer = EpochPrinter("Validation", epoch, n_val, tcfg.print_freq, log)
         it = loader_lib.prefetch_to_device(loader_lib.iterate(
-            val_ds, tcfg.batch_size, **proc), sharding=batch_shard)
+            val_ds, tcfg.batch_size, with_index=val_store is not None,
+            **proc), sharding=batch_shard)
         for i, batch in enumerate(it):
             printer.data_loaded()
+            if val_store is not None:
+                images = val_store.lookup(batch["index"])
+                batch = {k: v for k, v in batch.items() if k != "index"}
+                batch["images"] = images
             m = eval_step(state_box["state"]["params"],
                           state_box["state"]["stats"], batch)
             printer.update(i, Loss=float(m["loss"]), Accuracy=float(m["acc"]))

@@ -148,6 +148,29 @@ def test_caption_dataset_and_loader(artifacts):
     np.testing.assert_array_equal(b0["captions"], b0b["captions"])
 
 
+def test_windowed_hdf5_matches_in_memory(artifacts):
+    """in_memory=False keeps images on disk: h5py fancy indexing requires
+    sorted unique indices, so _fancy_index must reconstruct arbitrary
+    (repeated, unsorted) gathers exactly (datasets.py:34-43)."""
+    out, _ = artifacts
+    base = "flickr10k_5_cap_per_img_0_min_word_freq"
+    mem = CaptionDataset(str(out), base, "TRAIN", in_memory=True)
+    win = CaptionDataset(str(out), base, "TRAIN", in_memory=False)
+    idx = np.array([19, 0, 7, 7, 0, 12])  # unsorted + duplicates
+    bm, bw = mem.gather(idx), win.gather(idx)
+    for k in bm:
+        np.testing.assert_array_equal(bm[k], bw[k])
+    np.testing.assert_array_equal(mem.gather_images(np.array([3, 1, 1])),
+                                  win.gather_images(np.array([3, 1, 1])))
+
+    tmem = TagDataset(str(out), base, "TRAIN", in_memory=True)
+    twin = TagDataset(str(out), base, "TRAIN", in_memory=False)
+    tb_m, tb_w = tmem.gather(np.array([3, 0, 3])), twin.gather(
+        np.array([3, 0, 3]))
+    for k in tb_m:
+        np.testing.assert_array_equal(tb_m[k], tb_w[k])
+
+
 def test_tag_dataset(artifacts):
     out, _ = artifacts
     base = "flickr10k_5_cap_per_img_0_min_word_freq"
