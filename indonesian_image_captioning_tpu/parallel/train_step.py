@@ -68,6 +68,42 @@ def make_parallel_caption_train_step(cfg: ModelConfig, tcfg: TrainConfig,
         donate_argnums=(0,))
 
 
+def make_parallel_caption_finetune_step(cfg: ModelConfig, tcfg: TrainConfig,
+                                        dec_optimizer, enc_optimizer,
+                                        mesh: Mesh, state_template,
+                                        shard_vocab: bool = True):
+    """Joint decoder + ResNet fine-tuning over a (data, model) mesh.
+
+    Returns (tagger_fn, step) with the same protocol as
+    ``steps.make_caption_finetune_train_step``:
+      step(state, images_u8, tags, captions, caplens, rng)
+    where state = {"params", "opt_state", "encoder", "encoder_stats",
+    "enc_opt_state"} — decoder params/moments optionally vocab-sharded over
+    "model", encoder params/moments replicated, batch over "data".
+
+    Train-mode BatchNorm under DP: the batch-statistic reductions span the
+    GLOBAL batch (the partitioner inserts the cross-chip psums), i.e.
+    synchronized BN — same numerics as the single-device step up to FP
+    reduction order, NOT per-shard statistics.
+    """
+    tagger_fn, base = steps_lib.make_caption_finetune_train_step(
+        cfg, tcfg, dec_optimizer, enc_optimizer, donate=False)
+    # the fine-tune loss differentiates through enc_out, so the decoder
+    # already keeps the XLA scan (no fused-kernel GSPMD gap to work around)
+    state_sh = sh.state_sharding(mesh, state_template, shard_vocab)
+    data = lambda _ndim: NamedSharding(mesh, P(DATA_AXIS))
+    metric_sh = NamedSharding(mesh, P())
+    metric_tree = {"loss": metric_sh, "top5": metric_sh,
+                   "n_tokens": metric_sh, "ce": metric_sh,
+                   "alpha_penalty": metric_sh}
+    step = jax.jit(
+        base.__wrapped__,
+        in_shardings=(state_sh, data(4), data(2), data(2), data(1), None),
+        out_shardings=(state_sh, metric_tree),
+        donate_argnums=(0,))
+    return tagger_fn, step
+
+
 def make_parallel_tagger_train_step(tcfg: TrainConfig, optimizer, mesh: Mesh,
                                     state_template, batch_template,
                                     dropout_rate: float = 0.15,

@@ -108,10 +108,6 @@ def main(model_type: str,
     # all-gather collectives over ICI; see parallel/sharding.py.
     mesh, shard_vocab, batch_shard = None, False, None
     if tuple(tcfg.mesh_shape) != (1, 1):
-        if tcfg.fine_tune_encoder:
-            raise NotImplementedError(
-                "fine_tune_encoder with a multi-chip mesh is not wired yet; "
-                "use the default frozen-encoder recipe for DP/TP training")
         from jax.sharding import NamedSharding, PartitionSpec as P
         from ..core.meshes import DATA_AXIS, make_mesh
         from ..parallel import sharding as sh
@@ -193,12 +189,24 @@ def main(model_type: str,
         # place params/opt (vocab-sharded when model axis > 1) and the frozen
         # encoder/tagger (replicated) onto the mesh, then build the SPMD step
         state = sh.place_state(mesh, state, shard_vocab=shard_vocab)
-        from ..parallel.train_step import make_parallel_caption_train_step
-        encode_fn = steps.make_encoders_fn(cfg, tcfg.encoder_dtype)
-        train_step = make_parallel_caption_train_step(
-            cfg, tcfg, optimizer, mesh,
-            {"params": state["params"], "opt_state": state["opt_state"]},
-            shard_vocab=shard_vocab)
+        if tcfg.fine_tune_encoder:
+            # joint decoder + ResNet fine-tuning over the mesh: encoder
+            # params/moments replicated, grads psum'd by the partitioner,
+            # BatchNorm batch statistics reduced over the GLOBAL batch
+            from ..parallel.train_step import (
+                make_parallel_caption_finetune_step)
+            ft_keys = ("params", "opt_state", "encoder", "encoder_stats",
+                       "enc_opt_state")
+            tagger_fn, finetune_step = make_parallel_caption_finetune_step(
+                cfg, tcfg, optimizer, enc_optimizer, mesh,
+                {k: state[k] for k in ft_keys}, shard_vocab=shard_vocab)
+        else:
+            from ..parallel.train_step import make_parallel_caption_train_step
+            encode_fn = steps.make_encoders_fn(cfg, tcfg.encoder_dtype)
+            train_step = make_parallel_caption_train_step(
+                cfg, tcfg, optimizer, mesh,
+                {"params": state["params"], "opt_state": state["opt_state"]},
+                shard_vocab=shard_vocab)
     elif tcfg.fine_tune_encoder:
         tagger_fn, finetune_step = steps.make_caption_finetune_train_step(
             cfg, tcfg, optimizer, enc_optimizer)
