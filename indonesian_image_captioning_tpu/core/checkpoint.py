@@ -50,6 +50,75 @@ def save_checkpoint(directory: str, model_name: str, data_name: str,
     return path
 
 
+class AsyncSaver:
+    """Epoch checkpoints written off-thread: the trainer keeps stepping
+    while device→host fetch + orbax serialisation run in the background.
+
+    The reference (and a naive port) blocks the train loop for the whole
+    save (utils/checkpoint.py:4-31 is synchronous torch.save).  Here
+    ``submit`` snapshots the state with an ON-DEVICE copy (cheap — one
+    dispatched copy op per leaf) and returns immediately; a single worker
+    thread then fetches and writes.  The device copy is what makes this
+    safe next to donated train steps: the next step donates the ORIGINAL
+    state buffers, never the snapshot.  Saves execute in submission order
+    (one worker), so the last submitted state is what ends up on disk.
+
+    Call ``wait()`` before reading checkpoints back or returning from the
+    trainer; worker exceptions re-raise there (and on the next submit).
+    """
+
+    def __init__(self):
+        import queue
+        import threading
+        self._q = queue.Queue()
+        self._err = None
+        self._thread = threading.Thread(target=self._run, daemon=True)
+        self._thread.start()
+
+    def _run(self):
+        while True:
+            item = self._q.get()
+            try:
+                if item is None:
+                    return
+                args, kwargs = item
+                save_checkpoint(*args, **kwargs)
+            except BaseException as e:  # surfaced on wait()/next submit
+                self._err = e
+            finally:
+                self._q.task_done()
+
+    @staticmethod
+    def _snapshot(tree):
+        import jax.numpy as jnp
+
+        def copy_leaf(x):
+            if isinstance(x, jax.Array):
+                return jnp.copy(x)
+            return x
+
+        return jax.tree.map(copy_leaf, tree)
+
+    def submit(self, directory: str, model_name: str, data_name: str,
+               state: Dict[str, Any], is_best: bool) -> None:
+        self._raise_pending()
+        self._q.put(((directory, model_name, data_name,
+                      self._snapshot(state), is_best), {}))
+
+    def wait(self) -> None:
+        """Block until every submitted save has been written."""
+        self._q.join()
+        self._raise_pending()
+
+    def close(self) -> None:
+        self._q.put(None)
+
+    def _raise_pending(self):
+        if self._err is not None:
+            err, self._err = self._err, None
+            raise err
+
+
 def load_checkpoint(directory: str, model_name: str, data_name: str,
                     best: bool = False,
                     template: Optional[Dict[str, Any]] = None):

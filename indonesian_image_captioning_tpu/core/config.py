@@ -324,6 +324,12 @@ class TrainConfig:
     # HBM budget for the device image store(s), in GiB (TRAIN + VAL
     # together).
     device_images_budget_gb: float = 4.0
+    # Write epoch checkpoints from a background thread (core/checkpoint.py
+    # AsyncSaver): the train loop submits an on-device snapshot and keeps
+    # stepping while device->host fetch + orbax serialisation run
+    # off-thread.  Identical bytes on disk; the trainer joins before
+    # returning.  False = the reference's blocking save semantics.
+    async_checkpoint: bool = True
     # Calibrate the FROZEN caption encoder's BatchNorm running stats with
     # this many train-mode EMA passes over training batches before epoch 0.
     # Needed when the encoder is NOT pretrained: at random init the running

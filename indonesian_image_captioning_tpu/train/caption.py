@@ -368,14 +368,26 @@ def main(model_type: str,
         log(f"DECAYING learning rate; new LR "
             f"{steps.current_learning_rate(state_box['state']['opt_state']):.6f}")
 
-    def save(epoch: int, stale_now: int, metric: float, is_best: bool):
-        ckpt_lib.save_checkpoint(
-            tcfg.checkpoint_dir, model_type, data_cfg.data_name,
-            {"state": state_box["state"], "epoch": epoch,
-             "epochs_since_improvement": stale_now, "metric": metric},
-            is_best)
+    saver = ckpt_lib.AsyncSaver() if tcfg.async_checkpoint else None
 
-    summary = fit(tcfg, train_epoch=train_epoch, validate=validate,
-                  decay_lr=decay, save=save, start_epoch=start_epoch,
-                  epochs_since_improvement=stale, best_metric=best, log=log)
+    def save(epoch: int, stale_now: int, metric: float, is_best: bool):
+        payload = {"state": state_box["state"], "epoch": epoch,
+                   "epochs_since_improvement": stale_now, "metric": metric}
+        if saver is not None:
+            saver.submit(tcfg.checkpoint_dir, model_type, data_cfg.data_name,
+                         payload, is_best)
+        else:
+            ckpt_lib.save_checkpoint(tcfg.checkpoint_dir, model_type,
+                                     data_cfg.data_name, payload, is_best)
+
+    try:
+        summary = fit(tcfg, train_epoch=train_epoch, validate=validate,
+                      decay_lr=decay, save=save, start_epoch=start_epoch,
+                      epochs_since_improvement=stale, best_metric=best,
+                      log=log)
+        if saver is not None:
+            saver.wait()
+    finally:
+        if saver is not None:
+            saver.close()
     return state_box["state"], summary
