@@ -18,6 +18,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--min_word_freq", "-mwf", default=5, type=int)
     p.add_argument("--max_len", "-ml", default=50, type=int)
     p.add_argument("--tag_size", default=1000, type=int)
+    p.add_argument("--workers", "-w", default=0, type=int,
+                   help="concurrent image decoders (0 = auto, 1 = serial); "
+                        "artifacts are identical for every value")
     return p
 
 
@@ -31,7 +34,8 @@ def main(argv=None):
                        captions_per_image=args.captions_per_image,
                        min_word_freq=args.min_word_freq,
                        output_folder=args.output_folder,
-                       tag_size=args.tag_size, max_len=args.max_len)
+                       tag_size=args.tag_size, max_len=args.max_len,
+                       workers=args.workers)
     print("Input files created!")
 
 

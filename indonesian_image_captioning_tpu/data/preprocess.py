@@ -25,7 +25,8 @@ from __future__ import annotations
 import json
 import os
 import random
-from collections import Counter
+from collections import Counter, deque
+from concurrent.futures import ThreadPoolExecutor
 from typing import Dict, List, Sequence
 
 import h5py
@@ -105,12 +106,49 @@ def read_image(path: str, size: int = 256) -> np.ndarray:
     return arr.transpose(2, 0, 1)
 
 
+def _read_images_pipelined(paths: Sequence[str], image_size: int,
+                           workers: int):
+    """Yield decoded (3, S, S) uint8 images for ``paths`` IN ORDER,
+    decoding up to ``workers`` images concurrently.
+
+    Pillow releases the GIL during JPEG decode and resize, so a thread
+    pool gives real parallelism for the pass-3 hot loop
+    (reference: one-image-at-a-time, utils/dataset.py:367-374).  A
+    bounded in-flight window (2x workers) caps peak memory regardless of
+    split size; the consumer (HDF5 writes + seeded caption sampling)
+    stays on the calling thread, so artifacts are bit-identical to the
+    sequential path (tests/test_data.py::test_preprocess_workers_identical).
+    """
+    if workers <= 1:
+        for p in paths:
+            yield read_image(p, image_size)
+        return
+    with ThreadPoolExecutor(workers) as ex:
+        window = 2 * workers
+        pending = deque(ex.submit(read_image, p, image_size)
+                        for p in paths[:window])
+        nxt = len(pending)
+        while pending:
+            yield pending.popleft().result()
+            if nxt < len(paths):
+                pending.append(ex.submit(read_image, paths[nxt], image_size))
+                nxt += 1
+
+
 def create_input_files(dataset: str, split_path: str, image_folder: str,
                        captions_per_image: int, min_word_freq: int,
                        output_folder: str, tag_size: int = 1000,
                        max_len: int = 50,
-                       image_size: int = 256) -> Dict[str, str]:
-    """Build all training artifacts; returns {artifact name: path}."""
+                       image_size: int = 256,
+                       workers: int = 0) -> Dict[str, str]:
+    """Build all training artifacts; returns {artifact name: path}.
+
+    ``workers``: concurrent image decoders for the per-split hot loop
+    (0 = auto: ``os.cpu_count()``, 1 = sequential).  Output artifacts are
+    identical for every worker count.
+    """
+    if workers <= 0:
+        workers = os.cpu_count() or 1
     if dataset not in ALL_DATASETS:
         raise ValueError(f"dataset must be one of {sorted(ALL_DATASETS)}")
     os.makedirs(output_folder, exist_ok=True)
@@ -186,6 +224,7 @@ def create_input_files(dataset: str, split_path: str, image_folder: str,
             images = h.create_dataset(
                 "images", (n, 3, image_size, image_size), dtype="uint8")
             tags_ds = t.create_dataset("tags", (n, tag_size), dtype="float32")
+            decoded = _read_images_pipelined(sp["paths"], image_size, workers)
             for i in range(n):
                 caps = sp["captions"][i]
                 if len(caps) < captions_per_image:
@@ -193,7 +232,7 @@ def create_input_files(dataset: str, split_path: str, image_folder: str,
                                    range(captions_per_image - len(caps))]
                 else:
                     caps = rng.sample(caps, k=captions_per_image)
-                images[i] = read_image(sp["paths"][i], image_size)
+                images[i] = next(decoded)
                 tags_ds[i] = get_ground_truth(sp["tags"][i], tag_map, tag_size)
                 for c in caps:
                     ids, clen = vocab_lib.encode_caption(c, word_map, max_len)

@@ -117,6 +117,29 @@ def test_preprocess_deterministic(tiny_corpus, tmp_path):
         r2["TRAIN_captions"])
 
 
+def test_preprocess_workers_identical(tiny_corpus, tmp_path):
+    """Concurrent image decoding must not change ANY artifact byte:
+    images row-for-row, captions (the seeded rng sequence), tags."""
+    import h5py
+
+    root, img_dir = tiny_corpus
+    o1, o2 = tmp_path / "serial", tmp_path / "threaded"
+    r1 = preprocess.create_input_files("flickr10k", str(root), str(img_dir),
+                                       5, 0, str(o1), tag_size=4, max_len=50,
+                                       workers=1)
+    r2 = preprocess.create_input_files("flickr10k", str(root), str(img_dir),
+                                       5, 0, str(o2), tag_size=4, max_len=50,
+                                       workers=8)
+    for split in ("TRAIN", "VAL", "TEST"):
+        with h5py.File(r1[f"{split}_images"]) as a, \
+                h5py.File(r2[f"{split}_images"]) as b:
+            assert (a["images"][...] == b["images"][...]).all()
+        assert vocab.load_json(r1[f"{split}_captions"]) == vocab.load_json(
+            r2[f"{split}_captions"])
+        assert vocab.load_json(r1[f"{split}_caplens"]) == vocab.load_json(
+            r2[f"{split}_caplens"])
+
+
 def test_caption_dataset_and_loader(artifacts):
     out, outputs = artifacts
     base = "flickr10k_5_cap_per_img_0_min_word_freq"
