@@ -188,11 +188,11 @@ def test_fused_step_under_shard_map_matches_unsharded():
     """Data-parallel decode (the eval_caption mesh path): shard_map over
     the 8-device CPU mesh with the fused kernel engaged PER SHARD (local
     B=2, K=4 -> G=2 tile) must reproduce the unsharded steps engine."""
-    import inspect
-
     import numpy as np
-    from jax.experimental.shard_map import shard_map
     from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    from indonesian_image_captioning_tpu.core.meshes import get_shard_map
+    shard_map, flag = get_shard_map()
 
     cfg = tiny_cfg(vocab=40, decode_impl="fused_step")
     params = decoders.init_decoder(jax.random.key(50), cfg)
@@ -209,8 +209,6 @@ def test_fused_step_under_shard_map_matches_unsharded():
         out = caption_beam_search(p, cfg, e, t, **kw)
         return out["sequences"], out["lengths"]
 
-    flag = ("check_vma" if "check_vma"
-            in inspect.signature(shard_map).parameters else "check_rep")
     sharded = jax.jit(shard_map(
         _beam, mesh=mesh, in_specs=(P(), P("data"), P("data")),
         out_specs=(P("data"), P("data")), **{flag: False}))
