@@ -1,0 +1,211 @@
+"""Micro-batching caption server over the production decode path.
+
+TPU-first design notes:
+  * One jitted program per batch BUCKET (static shapes): an incoming
+    batch of B requests is padded to the smallest bucket >= B, so after
+    warmup no request ever triggers a compile.
+  * The whole pipeline (uint8 -> normalize -> tagger -> encoder -> beam)
+    is ONE jit call per bucket; the beam engine inside picks its own
+    fused kernels per shape (decode/api.resolve_decode_impl).
+  * The async front is a plain queue + worker thread: requests are
+    coalesced up to the largest bucket or until ``max_wait_ms`` passes
+    since the oldest queued request (classic continuous micro-batching).
+    Submission order is preserved.
+
+Reference counterpart: inference.py:52-165 (single image per process).
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+import time
+from concurrent.futures import Future
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional, Sequence
+
+import jax
+import numpy as np
+
+from ..core.config import BeamConfig, ModelConfig
+from ..core.tokens import PAD_ID
+from ..data import vocab as vocab_lib
+from ..models import encoders
+
+
+@dataclass(frozen=True)
+class ServeConfig:
+    """Engine knobs.  Buckets must be ascending; requests above the
+    largest bucket are split across calls."""
+
+    batch_buckets: tuple = (1, 8, 32, 128)
+    max_wait_ms: float = 2.0
+    beam_size: int = 5
+
+
+@dataclass
+class ServeStats:
+    """Batch-size histogram for observability/tests."""
+
+    batches: List[int] = field(default_factory=list)
+
+    def record(self, n: int) -> None:
+        self.batches.append(n)
+
+
+class CaptionEngine:
+    """Batched image -> caption serving engine.
+
+    state: the inference-state dict used by cli/inference.py
+        (keys params / encoder / encoder_stats and, for tag-using
+        models, tagger / tagger_stats).
+    word_map: token -> id dict (WORDMAP artifact).
+    """
+
+    def __init__(self, state: Dict, cfg: ModelConfig, word_map: Dict[str, int],
+                 serve_cfg: ServeConfig = ServeConfig()):
+        if list(serve_cfg.batch_buckets) != sorted(set(serve_cfg.batch_buckets)):
+            raise ValueError("batch_buckets must be ascending and unique")
+        self.cfg = cfg
+        self.serve_cfg = serve_cfg
+        self.word_map = word_map
+        self.rev_word_map = vocab_lib.invert(word_map)
+        self.start_id = word_map["<start>"]
+        self.end_id = word_map["<end>"]
+        self.state = jax.device_put(state)
+        self.stats = ServeStats()
+        self._queue: "queue.Queue" = queue.Queue()
+        self._worker: Optional[threading.Thread] = None
+        self._stop = threading.Event()
+
+        beam_cfg = BeamConfig(beam_size=serve_cfg.beam_size,
+                              max_steps=cfg.max_caption_len - 2)
+
+        def _pipeline(st, images_u8):
+            from ..train.steps import prep_images
+            x = prep_images(images_u8)
+            if cfg.dtype == "bfloat16":
+                x = x.astype("bfloat16")
+            if cfg.uses_tags:
+                tags = encoders.apply_encoder_tagger(
+                    st["tagger"], st["tagger_stats"], x, train=False,
+                    arch=cfg.encoder_arch)[0]
+            else:
+                tags = jax.numpy.zeros((x.shape[0], cfg.semantic_dim),
+                                       x.dtype)
+            enc = encoders.apply_encoder_caption(
+                st["encoder"], st["encoder_stats"], x, train=False,
+                enc_image_size=cfg.enc_image_size, arch=cfg.encoder_arch)[0]
+            from ..decode.api import caption_beam_search
+            out = caption_beam_search(
+                st["params"], cfg, enc.astype(x.dtype),
+                tags.astype(x.dtype), start_id=self.start_id,
+                end_id=self.end_id, beam_cfg=beam_cfg)
+            return out["sequences"], out["lengths"], tags
+
+        self._pipeline = jax.jit(_pipeline)
+
+    # ------------------------------------------------------------------
+    # synchronous path
+    # ------------------------------------------------------------------
+
+    def _bucket_for(self, n: int) -> int:
+        for b in self.serve_cfg.batch_buckets:
+            if n <= b:
+                return b
+        return self.serve_cfg.batch_buckets[-1]
+
+    def _detokenize(self, seq: Sequence[int]) -> str:
+        skip = (self.start_id, self.end_id, PAD_ID)
+        return " ".join(self.rev_word_map[int(w)] for w in seq
+                        if int(w) not in skip)
+
+    def caption_batch(self, images_u8: np.ndarray) -> List[str]:
+        """(B, 3, H, W) uint8 -> B caption strings (any B >= 1)."""
+        images_u8 = np.asarray(images_u8)
+        if images_u8.ndim != 4:
+            raise ValueError("expected (B, 3, H, W) uint8 batch")
+        captions: List[str] = []
+        max_b = self.serve_cfg.batch_buckets[-1]
+        for lo in range(0, images_u8.shape[0], max_b):
+            chunk = images_u8[lo:lo + max_b]
+            bucket = self._bucket_for(chunk.shape[0])
+            if chunk.shape[0] < bucket:
+                pad = np.zeros((bucket - chunk.shape[0],) + chunk.shape[1:],
+                               chunk.dtype)
+                padded = np.concatenate([chunk, pad], 0)
+            else:
+                padded = chunk
+            seqs, lens, _ = self._pipeline(self.state, padded)
+            seqs, lens = np.asarray(seqs), np.asarray(lens)
+            self.stats.record(int(chunk.shape[0]))
+            for i in range(chunk.shape[0]):
+                captions.append(self._detokenize(seqs[i][:lens[i]]))
+        return captions
+
+    def warmup(self, image_size: int = 256) -> None:
+        """Compile every bucket (at the deployment's image size) so
+        serving never pays a compile."""
+        for b in self.serve_cfg.batch_buckets:
+            self.caption_batch(
+                np.zeros((b, 3, image_size, image_size), np.uint8))
+        self.stats.batches.clear()
+
+    # ------------------------------------------------------------------
+    # async micro-batching front
+    # ------------------------------------------------------------------
+
+    def start(self) -> None:
+        if self._worker is not None:
+            return
+        self._stop.clear()
+        self._worker = threading.Thread(target=self._serve_loop, daemon=True)
+        self._worker.start()
+
+    def stop(self) -> None:
+        if self._worker is None:
+            return
+        self._stop.set()
+        self._worker.join()
+        self._worker = None
+
+    def submit(self, image_u8: np.ndarray) -> "Future[str]":
+        """Enqueue one (3, H, W) uint8 image; resolves to its caption."""
+        if self._worker is None:
+            raise RuntimeError("engine not started (call start())")
+        fut: "Future[str]" = Future()
+        self._queue.put((np.asarray(image_u8), fut))
+        return fut
+
+    def _serve_loop(self) -> None:
+        max_b = self.serve_cfg.batch_buckets[-1]
+        wait_s = self.serve_cfg.max_wait_ms / 1e3
+        while not self._stop.is_set():
+            try:
+                first = self._queue.get(timeout=0.05)
+            except queue.Empty:
+                continue
+            batch = [first]
+            deadline = time.monotonic() + wait_s
+            # coalesce whatever arrives before the deadline, up to a bucket
+            while len(batch) < max_b:
+                remaining = deadline - time.monotonic()
+                if remaining <= 0:
+                    try:            # drain anything already queued
+                        batch.append(self._queue.get_nowait())
+                        continue
+                    except queue.Empty:
+                        break
+                try:
+                    batch.append(self._queue.get(timeout=remaining))
+                except queue.Empty:
+                    break
+            images = np.stack([img for img, _ in batch])
+            try:
+                captions = self.caption_batch(images)
+            except Exception as e:   # fail every request in the batch
+                for _, fut in batch:
+                    fut.set_exception(e)
+                continue
+            for (_, fut), cap in zip(batch, captions):
+                fut.set_result(cap)
