@@ -41,6 +41,10 @@ class ServeConfig:
     batch_buckets: tuple = (1, 8, 32, 128)
     max_wait_ms: float = 2.0
     beam_size: int = 5
+    # None -> BeamConfig's default (51), which matches the reference cap
+    # (attention_scn.py:288 runs steps 1..51) and the cli/inference + eval
+    # paths, so serve decode is bit-identical to single-image inference.
+    max_steps: Optional[int] = None
 
 
 @dataclass
@@ -78,8 +82,12 @@ class CaptionEngine:
         self._worker: Optional[threading.Thread] = None
         self._stop = threading.Event()
 
-        beam_cfg = BeamConfig(beam_size=serve_cfg.beam_size,
-                              max_steps=cfg.max_caption_len - 2)
+        if serve_cfg.max_steps is None:
+            beam_cfg = BeamConfig(beam_size=serve_cfg.beam_size)
+        else:
+            beam_cfg = BeamConfig(beam_size=serve_cfg.beam_size,
+                                  max_steps=serve_cfg.max_steps)
+        self.beam_cfg = beam_cfg
 
         def _pipeline(st, images_u8):
             from ..train.steps import prep_images
@@ -168,13 +176,26 @@ class CaptionEngine:
         self._stop.set()
         self._worker.join()
         self._worker = None
+        # Drain anything still queued (including requests submitted during
+        # shutdown) so no caller blocks forever on fut.result().
+        while True:
+            try:
+                _, fut = self._queue.get_nowait()
+            except queue.Empty:
+                break
+            if fut.set_running_or_notify_cancel():
+                fut.set_exception(RuntimeError("engine stopped"))
 
     def submit(self, image_u8: np.ndarray) -> "Future[str]":
         """Enqueue one (3, H, W) uint8 image; resolves to its caption."""
         if self._worker is None:
             raise RuntimeError("engine not started (call start())")
+        image_u8 = np.asarray(image_u8)
+        if image_u8.ndim != 3 or image_u8.shape[0] != 3:
+            raise ValueError(
+                f"expected a (3, H, W) image, got shape {image_u8.shape}")
         fut: "Future[str]" = Future()
-        self._queue.put((np.asarray(image_u8), fut))
+        self._queue.put((image_u8, fut))
         return fut
 
     def _serve_loop(self) -> None:
@@ -200,12 +221,21 @@ class CaptionEngine:
                     batch.append(self._queue.get(timeout=remaining))
                 except queue.Empty:
                     break
-            images = np.stack([img for img, _ in batch])
+            # Skip requests the caller cancelled while they were queued;
+            # marking the rest running also makes set_result/set_exception
+            # below legal even if a caller races cancel() from here on.
+            live = [(img, fut) for img, fut in batch
+                    if fut.set_running_or_notify_cancel()]
+            if not live:
+                continue
             try:
+                # np.stack stays inside the try: one mismatched image shape
+                # fails that batch's futures instead of killing the loop.
+                images = np.stack([img for img, _ in live])
                 captions = self.caption_batch(images)
             except Exception as e:   # fail every request in the batch
-                for _, fut in batch:
+                for _, fut in live:
                     fut.set_exception(e)
                 continue
-            for (_, fut), cap in zip(batch, captions):
+            for (_, fut), cap in zip(live, captions):
                 fut.set_result(cap)

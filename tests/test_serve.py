@@ -6,6 +6,8 @@ the adaptive pool, and the fixed-shape beam engine), and the async front
 must actually coalesce concurrent requests into one device call.
 """
 
+from concurrent.futures import Future
+
 import numpy as np
 import pytest
 
@@ -94,3 +96,67 @@ def test_rejects_bad_buckets_and_unstarted_submit(engine_parts):
     eng = CaptionEngine(state, cfg, wm, ServeConfig(batch_buckets=(1,)))
     with pytest.raises(RuntimeError):
         eng.submit(images[0])
+
+
+def test_submit_rejects_bad_shape_and_loop_survives(engine_parts):
+    """A mis-shaped request must not kill the serve loop (ADVICE r2)."""
+    cfg, state, wm, images = engine_parts
+    eng = CaptionEngine(state, cfg, wm,
+                        ServeConfig(batch_buckets=(1, 2), beam_size=3))
+    expected = eng.caption_batch(images[:1])[0]
+    eng.start()
+    try:
+        with pytest.raises(ValueError):       # caught at submit time
+            eng.submit(np.zeros((64, 64, 3), np.uint8))
+        with pytest.raises(ValueError):
+            eng.submit(np.zeros((64,), np.uint8))
+        # engine still serves after the rejected submissions
+        assert eng.submit(images[0]).result(timeout=300) == expected
+    finally:
+        eng.stop()
+
+
+def test_stop_fails_pending_futures(engine_parts):
+    """stop() must resolve still-queued futures, never strand them."""
+    cfg, state, wm, images = engine_parts
+    eng = CaptionEngine(state, cfg, wm, ServeConfig(batch_buckets=(1,)))
+    eng.start()
+    eng._stop.set()                 # freeze the loop before it picks work up
+    eng._worker.join()
+    eng._worker, worker = None, eng._worker
+    fut = Future()
+    eng._queue.put((images[0], fut))
+    eng._worker = worker            # restore so stop() runs its drain
+    eng.stop()
+    with pytest.raises(RuntimeError, match="engine stopped"):
+        fut.result(timeout=5)
+
+
+def test_cancelled_future_is_skipped(engine_parts):
+    """A request cancelled while queued must not crash the worker or
+    strand the rest of its batch (ADVICE r2)."""
+    cfg, state, wm, images = engine_parts
+    eng = CaptionEngine(state, cfg, wm,
+                        ServeConfig(batch_buckets=(1, 2, 8), beam_size=3,
+                                    max_wait_ms=500.0))
+    expected = eng.caption_batch(images[:2])
+    eng.warmup(image_size=64)
+    eng.start()
+    try:
+        futs = [eng.submit(images[i]) for i in range(2)]
+        assert futs[0].cancel()     # worker is still coalescing (500 ms)
+        assert futs[1].result(timeout=300) == expected[1]
+    finally:
+        eng.stop()
+
+
+def test_serve_decode_matches_inference_max_steps(engine_parts):
+    """Serve must use BeamConfig's default max_steps (reference cap 51)
+    unless ServeConfig overrides it (ADVICE r2)."""
+    from indonesian_image_captioning_tpu.core.config import BeamConfig
+    cfg, state, wm, _ = engine_parts
+    eng = CaptionEngine(state, cfg, wm, ServeConfig(batch_buckets=(1,)))
+    assert eng.beam_cfg.max_steps == BeamConfig().max_steps == 51
+    eng2 = CaptionEngine(state, cfg, wm,
+                         ServeConfig(batch_buckets=(1,), max_steps=7))
+    assert eng2.beam_cfg.max_steps == 7
