@@ -41,6 +41,11 @@ def build_parser() -> argparse.ArgumentParser:
                         "bf16 compute with f32 master weights "
                         "(TrainConfig.decoder_dtype; default float32 "
                         "for reference parity)")
+    p.add_argument("--encoder_dtype", default=None,
+                   choices=("float32", "bfloat16"),
+                   help="frozen-encoder/tagger forward dtype during caption "
+                        "training (TrainConfig.encoder_dtype; default "
+                        "bfloat16 — float32 for bit-stable parity runs)")
     p.add_argument("--tagger_dtype", default=None,
                    choices=("float32", "bfloat16"),
                    help="mixed-precision tagger training: bfloat16 = "
@@ -137,6 +142,8 @@ def _override(tcfg: TrainConfig, args) -> TrainConfig:
         kw["decoder_lr"] = args.decoder_lr
     if getattr(args, "decoder_dtype", None):
         kw["decoder_dtype"] = args.decoder_dtype
+    if getattr(args, "encoder_dtype", None):
+        kw["encoder_dtype"] = args.encoder_dtype
     if getattr(args, "tagger_dtype", None):
         kw["tagger_dtype"] = args.tagger_dtype
     if getattr(args, "encoder_remat", None):

@@ -43,9 +43,11 @@ def save_checkpoint(directory: str, model_name: str, data_name: str,
     save_pytree(path, state)
     if is_best:
         best = os.path.abspath(os.path.join(directory, "BEST_" + name))
-        if os.path.exists(best):
-            shutil.rmtree(best)
-        shutil.copytree(path, best)
+        if jax.process_index() == 0:      # multi-host: one writer
+            if os.path.exists(best):
+                shutil.rmtree(best)
+            shutil.copytree(path, best)
+        _multihost_barrier(f"save_checkpoint:best:{best}")
         return best
     return path
 
@@ -129,16 +131,38 @@ def load_checkpoint(directory: str, model_name: str, data_name: str,
                        template)
 
 
+def _multihost_barrier(tag: str) -> None:
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+        multihost_utils.sync_global_devices(tag)
+
+
 def save_pytree(path: str, tree) -> None:
+    """Write ``tree`` to ``path``.
+
+    Multi-host: state reaching this point is fully replicated (DP training
+    keeps params/opt replicated; sharded-TP multi-host saving would need
+    orbax global-array serialisation and is not supported), so process 0
+    writes alone and everyone barriers — both before rmtree (no process
+    may still be reading the old version) and after the write (no process
+    may read a half-written checkpoint).
+    """
     tree = jax.tree.map(np.asarray, jax.device_get(tree))
-    if os.path.exists(path):
+    if jax.process_index() == 0 and os.path.exists(path):
         shutil.rmtree(path)
+    # no process may enter the write before the old version is cleared
+    _multihost_barrier(f"save_pytree:cleared:{path}")
     if _HAVE_ORBAX:
+        # orbax checkpointers are themselves multihost-collective (they
+        # sync_global_processes internally): EVERY process calls save;
+        # orbax writes host-replicated arrays from the primary only
         ocp.PyTreeCheckpointer().save(path, tree)
     else:  # pragma: no cover - orbax is in the image
-        os.makedirs(path, exist_ok=True)
-        np.save(os.path.join(path, "tree.npy"),
-                np.asarray([tree], dtype=object), allow_pickle=True)
+        if jax.process_index() == 0:
+            os.makedirs(path, exist_ok=True)
+            np.save(os.path.join(path, "tree.npy"),
+                    np.asarray([tree], dtype=object), allow_pickle=True)
+        _multihost_barrier(f"save_pytree:post:{path}")
 
 
 def load_pytree(path: str, template=None):

@@ -32,10 +32,10 @@ def make_mesh(mesh_shape: Optional[Tuple[int, int]] = None,
     if mesh_shape is None:
         mesh_shape = (len(devices), 1)
     d, m = mesh_shape
-    if d * m != len(devices):
+    if d * m > len(devices):
         raise ValueError(
             f"mesh_shape {mesh_shape} needs {d*m} devices, got {len(devices)}")
-    arr = np.asarray(devices).reshape(d, m)
+    arr = np.asarray(devices[:d * m]).reshape(d, m)
     return Mesh(arr, (DATA_AXIS, MODEL_AXIS))
 
 
@@ -92,6 +92,23 @@ def initialize_distributed(coordinator_address=None, num_processes=None,
         num_processes = int(os.environ.get("IIC_TPU_NUM_PROCESSES", "1"))
     if num_processes <= 1:
         return
+    try:
+        # CPU multi-process (the CI topology) needs the gloo transport for
+        # cross-process collectives; TPU backends ignore this knob.
+        jax.config.update("jax_cpu_collectives_implementation", "gloo")
+    except Exception:  # older jax: option absent, gloo is the default
+        pass
     jax.distributed.initialize(coordinator_address=coordinator_address,
                                num_processes=num_processes,
                                process_id=process_id)
+
+
+def replicate_for_host_fetch(tree, mesh: Mesh):
+    """Make every leaf of ``tree`` fully replicated so each process can
+    ``np.asarray`` it (multi-host: per-process shards of a global array are
+    not host-fetchable; a jitted identity with replicated out-shardings
+    inserts the all-gather over ICI).  Single-process: identity."""
+    if jax.process_count() == 1:
+        return tree
+    return jax.jit(lambda t: t,
+                   out_shardings=NamedSharding(mesh, P()))(tree)

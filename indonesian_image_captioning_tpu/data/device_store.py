@@ -118,6 +118,15 @@ def build_pair(tcfg, train_ds, val_ds, mesh=None, batch_shard=None,
     mode = getattr(tcfg, "device_images", "off")
     if mode == "off":
         return None, None
+    import jax
+    if jax.process_count() > 1:
+        # the store device_puts whole splits from one host — a single-
+        # process HBM-residency optimisation; multi-host input stays on
+        # the per-process sliced loader path (data/loader.py)
+        if mode == "on":
+            raise ValueError("device_images='on' is single-process only")
+        log("device image store disabled (multi-process run)")
+        return None, None
     budget = int(getattr(tcfg, "device_images_budget_gb", 4.0) * (1 << 30))
     train_store = build(train_ds, budget_bytes=budget, mesh=mesh,
                         batch_shard=batch_shard, log=log, split="TRAIN")

@@ -339,10 +339,18 @@ def main(model_type: str,
             n_tok = int(m["n_tokens"])
             printer.update(i, weights={"Loss": n_tok, "Top5": n_tok},
                            Loss=float(m["loss"]), Top5=float(m["top5"]))
-            preds = np.asarray(m["preds"])
-            caplens = np.asarray(batch["caplens"])
-            allcaps = np.asarray(batch["allcaps"])
-            valid = np.asarray(batch["valid"]) > 0
+            # multi-host: preds/batch rows are sharded across processes;
+            # all-gather them so every process assembles the full
+            # hypothesis set (and computes the identical BLEU gate)
+            fetch = {"preds": m["preds"], "caplens": batch["caplens"],
+                     "allcaps": batch["allcaps"], "valid": batch["valid"]}
+            if mesh is not None:
+                from ..core.meshes import replicate_for_host_fetch
+                fetch = replicate_for_host_fetch(fetch, mesh)
+            preds = np.asarray(fetch["preds"])
+            caplens = np.asarray(fetch["caplens"])
+            allcaps = np.asarray(fetch["allcaps"])
+            valid = np.asarray(fetch["valid"]) > 0
             for b in range(preds.shape[0]):
                 if not valid[b]:
                     continue
@@ -368,7 +376,13 @@ def main(model_type: str,
         log(f"DECAYING learning rate; new LR "
             f"{steps.current_learning_rate(state_box['state']['opt_state']):.6f}")
 
-    saver = ckpt_lib.AsyncSaver() if tcfg.async_checkpoint else None
+    # multi-host saves are synchronous: save_pytree barriers all processes,
+    # and issuing those collectives from the saver thread while the main
+    # thread runs train-step collectives could interleave differently per
+    # process (deadlock); single-process keeps the async overlap
+    import jax as _jx
+    saver = (ckpt_lib.AsyncSaver()
+             if tcfg.async_checkpoint and _jx.process_count() == 1 else None)
 
     def save(epoch: int, stale_now: int, metric: float, is_best: bool):
         payload = {"state": state_box["state"], "epoch": epoch,
