@@ -44,11 +44,14 @@ def force_cpu_devices(n_devices: int) -> None:
 
 
 def run(n_devices: int, model_par: int | None = None) -> float:
-    """One epoch of public-path DP+TP caption training on an
-    (n_devices/model_par, model_par) mesh.  Returns the train loss."""
+    """All three public surfaces on an (n_devices/model_par, model_par)
+    mesh: one epoch of DP+TP caption training, mesh-sharded TEST-split
+    eval (``eval_caption.py --mesh``), and a serve-engine smoke on the
+    trained state.  Returns the train loss."""
     import jax
+    import numpy as np
 
-    from ..core.config import ModelConfig, TrainConfig
+    from ..core.config import BeamConfig, ModelConfig, TrainConfig
     from ..data.synthetic import make_synthetic_corpus
     from ..data import vocab as vocab_lib
     from ..train import caption as caption_train
@@ -73,12 +76,48 @@ def run(n_devices: int, model_par: int | None = None) -> float:
                            print_freq=1, mesh_shape=mesh_shape,
                            checkpoint_dir=os.path.join(tmp, "ckpt"))
         os.makedirs(tcfg.checkpoint_dir, exist_ok=True)
-        _, summary = caption_train.main("attention_scn", data_cfg, tcfg,
-                                        model_cfg=cfg)
-    loss = float(summary["train_loss"])
-    if not math.isfinite(loss):
-        raise RuntimeError(f"non-finite train loss {loss}")
+        state, summary = caption_train.main("attention_scn", data_cfg, tcfg,
+                                            model_cfg=cfg)
+        loss = float(summary["train_loss"])
+        if not math.isfinite(loss):
+            raise RuntimeError(f"non-finite train loss {loss}")
+
+        # -- surface 2: mesh-sharded TEST eval (cli/eval_caption --mesh) --
+        from ..evaluation import eval_caption
+        beam_cfg = BeamConfig(beam_size=3, max_steps=cfg.max_caption_len)
+        scores = eval_caption.evaluate(
+            state, cfg, data_cfg, wm, beam_cfg=beam_cfg,
+            batch_size=n_devices, output_root=None, mesh_shape=mesh_shape,
+            log=lambda *_: None)
+        bleu4 = float(scores["Bleu_4"])
+        if not math.isfinite(bleu4):
+            raise RuntimeError(f"non-finite eval BLEU-4 {bleu4}")
+
+        # -- surface 3: serve-engine smoke on the trained state (the mesh
+        # state gathers to host; the engine runs its own jitted pipeline) --
+        from ..serve.engine import CaptionEngine, ServeConfig
+        host_state = jax.tree.map(
+            np.asarray, {k: state[k] for k in (
+                "params", "encoder", "encoder_stats", "tagger",
+                "tagger_stats")})
+        engine = CaptionEngine(
+            host_state, cfg, wm,
+            ServeConfig(batch_buckets=(2, 4), beam_size=3,
+                        max_steps=cfg.max_caption_len, max_wait_ms=5))
+        engine.start()
+        try:
+            rng = np.random.default_rng(0)
+            futs = [engine.submit(
+                rng.integers(0, 255, (3, 32, 32), np.uint8).astype(np.uint8))
+                for _ in range(5)]
+            served = [f.result(timeout=300) for f in futs]
+        finally:
+            engine.stop()
+        if len(served) != 5 or any(s is None for s in served):
+            raise RuntimeError(f"serve smoke failed: {served}")
+
     print(f"dryrun_multichip(n={n_devices}): "
           f"mesh={{'data': {mesh_shape[0]}, 'model': {mesh_shape[1]}}} "
-          f"devices={len(jax.devices())} loss={loss:.4f} OK")
+          f"devices={len(jax.devices())} loss={loss:.4f} "
+          f"eval_bleu4={bleu4:.4f} served={len(served)} OK")
     return loss
