@@ -45,6 +45,11 @@ class ServeConfig:
     # (attention_scn.py:288 runs steps 1..51) and the cli/inference + eval
     # paths, so serve decode is bit-identical to single-image inference.
     max_steps: Optional[int] = None
+    # Async-front pipeline depth: batches dispatched to the device before
+    # the oldest one's results are fetched.  Depth 2 keeps the chip busy
+    # while the host coalesces/pads the next bucket and pays the
+    # host<->device round-trip; 1 = fetch-per-batch.
+    max_inflight: int = 2
 
 
 @dataclass
@@ -198,13 +203,49 @@ class CaptionEngine:
         self._queue.put((image_u8, fut))
         return fut
 
+    def _dispatch(self, images: np.ndarray):
+        """Pad to a bucket and dispatch the jitted pipeline WITHOUT
+        fetching: returns (n_valid, seqs, lens) device handles.  The
+        coalescing loop bounds batches to the largest bucket."""
+        bucket = self._bucket_for(images.shape[0])
+        if images.shape[0] < bucket:
+            pad = np.zeros((bucket - images.shape[0],) + images.shape[1:],
+                           images.dtype)
+            images = np.concatenate([images, pad], 0)
+        seqs, lens, _ = self._pipeline(self.state, images)
+        return seqs, lens
+
     def _serve_loop(self) -> None:
+        """Pipelined micro-batching: dispatch batch i+1 while the device
+        decodes batch i.  JAX dispatch is asynchronous, so keeping up to
+        ``max_inflight`` batches in flight hides the host-side coalescing
+        + padding and the host<->device round-trip behind device compute —
+        the chip never idles between buckets."""
+        import collections
         max_b = self.serve_cfg.batch_buckets[-1]
         wait_s = self.serve_cfg.max_wait_ms / 1e3
+        depth = max(int(self.serve_cfg.max_inflight), 1)
+        inflight: "collections.deque" = collections.deque()
+
+        def resolve_oldest():
+            live, seqs, lens = inflight.popleft()
+            try:
+                seqs, lens = np.asarray(seqs), np.asarray(lens)
+            except Exception as e:
+                for _, fut in live:
+                    fut.set_exception(e)
+                return
+            for i, (_, fut) in enumerate(live):
+                fut.set_result(self._detokenize(seqs[i][:lens[i]]))
+
         while not self._stop.is_set():
             try:
-                first = self._queue.get(timeout=0.05)
+                # with work in flight, poll briefly so the oldest batch's
+                # results are fetched as soon as the queue goes quiet
+                first = self._queue.get(timeout=0.002 if inflight else 0.05)
             except queue.Empty:
+                if inflight:
+                    resolve_oldest()
                 continue
             batch = [first]
             deadline = time.monotonic() + wait_s
@@ -232,10 +273,14 @@ class CaptionEngine:
                 # np.stack stays inside the try: one mismatched image shape
                 # fails that batch's futures instead of killing the loop.
                 images = np.stack([img for img, _ in live])
-                captions = self.caption_batch(images)
+                seqs, lens = self._dispatch(images)
             except Exception as e:   # fail every request in the batch
                 for _, fut in live:
                     fut.set_exception(e)
                 continue
-            for (_, fut), cap in zip(live, captions):
-                fut.set_result(cap)
+            self.stats.record(len(live))
+            inflight.append((live, seqs, lens))
+            while len(inflight) >= depth:
+                resolve_oldest()
+        while inflight:              # stop(): land everything in flight
+            resolve_oldest()
