@@ -38,7 +38,7 @@ def resolve_decode_impl(cfg: ModelConfig, *, batch_size: int,
     unit-testable without a TPU (tests/test_span_fused.py)."""
     from ..ops.attention_pallas import _round_up
     from ..ops.decode_pallas import pick_img_tile
-    from ..ops.span_pallas import pick_span_tile
+    from ..ops.span_pallas import pick_span_plan
     from ..ops.step_pallas import dims_for_cfg, pick_step_tile
 
     fusable = (cfg.model_type == "attention_scn" and not record_alphas
@@ -63,7 +63,7 @@ def resolve_decode_impl(cfg: ModelConfig, *, batch_size: int,
         isz=itemsize)
     span_ok = (cfg.model_type in ("attention_scn", "pure_attention")
                and not record_alphas and not quant
-               and pick_span_tile(batch_size, beam_size, cfg.decode_span,
+               and pick_span_plan(batch_size, beam_size, cfg.decode_span,
                                   dims=span_dims) is not None)
 
     impl = cfg.decode_impl

@@ -64,12 +64,23 @@ NEG = -1e30  # matches decode/beam.py NEG_INF
 _VMEM_BUDGET = 112 * 1024 * 1024
 
 
+VOCAB_TILE = 4096  # head-tile width for head_mode="tiled" (lane multiple)
+
+
 def _estimate_vmem(G, K, S, *, Pp, E, A, D, Emb, F4, Vp, isz, group=4,
-                   win_single=False):
+                   win_single=False, tiled_head=False):
     """Estimated scoped-VMEM bytes for a (G, group, S) schedule: double-
     buffered windows and row inputs, constant weight + embedding blocks,
     state outputs, selection records, the f32 logits/top-k work arrays
-    (+ the one-hot embedding temp), and the attention/selection scratch."""
+    (+ the one-hot embedding temp), and the attention/selection scratch.
+
+    tiled_head: the big-vocab schedule — the fc/embedding tables stay
+    VMEM-resident (hoisted once per kernel call; they fit at COCO-ID
+    Vp=38,784 in bf16), but the head dot runs in VOCAB_TILE column slices
+    whose results land in the FULL-WIDTH (R, Vp) f32 work array, so the
+    (R, Vp)-sized SSA logit generations of the resident head never
+    materialise.  max/log-sum-exp/top-K then run full-width —
+    bit-identical to the resident head."""
     R = G * K
     m = min(group, G)
     while G % m:
@@ -83,7 +94,14 @@ def _estimate_vmem(G, K, S, *, Pp, E, A, D, Emb, F4, Vp, isz, group=4,
     weights = (D * A + 2 * A + D * E + E + (Emb + E + D) * F4
                + 2 * F4 * D + 8 * D + D * Vp + Vp) * isz
     emb_tab = Vp * Emb * (6 if isz == 4 else 2)      # exact bf16 limb tables
-    logits = 3 * R * Vp * 4 + R * Vp * 2             # lg+work+spill + one-hot
+    if tiled_head:
+        Vt = min(VOCAB_TILE, Vp)
+        # full-width work + extraction iota + one exp/spill generation
+        # (Mosaic measures 126.7 MB at COCO G=8 single — calibrated),
+        # plus the (R, Vt) lg/one-hot tile temps
+        logits = 3 * R * Vp * 4 + 3 * R * Vt * 4 + R * Vt * 2
+    else:
+        logits = 3 * R * Vp * 4 + R * Vp * 2         # lg+work+spill + one-hot
     scratch = (m * Pp * m * K + R * A + R * E) * isz
     select = R * (G + R + 2 * K) * 4                 # img_of/perm/lane moves
     # f32 mode: the HIGHEST-precision parent-reorder dots materialise
@@ -94,25 +112,72 @@ def _estimate_vmem(G, K, S, *, Pp, E, A, D, Emb, F4, Vp, isz, group=4,
 
 
 def pick_span_tile(B: int, K: int, S: int, img_tile: int = 32, *,
-                   dims=None):
+                   dims=None, win_single: bool = False,
+                   tiled_head: bool = False):
     """Largest image tile G <= img_tile with B % G == 0 and (G*K) % 8 == 0
     whose estimated scoped VMEM fits the chip, or None (callers fall back
     to the step engine)."""
+    # the tiled-head pallas_call lifts Mosaic's scoped-VMEM limit to
+    # 127 MB (the v5e has 128), so its gate gets matching headroom
+    budget = (126 * 1024 * 1024) if tiled_head else _VMEM_BUDGET
     for G in range(min(img_tile, B), 0, -1):
         if B % G == 0 and (G * K) % 8 == 0:
             if dims is not None and \
-                    _estimate_vmem(G, K, S, **dims) > _VMEM_BUDGET:
+                    _estimate_vmem(G, K, S, win_single=win_single,
+                                   tiled_head=tiled_head,
+                                   **dims) > budget:
                 continue
             return G
     return None
 
 
+def pick_span_plan(B: int, K: int, S: int, img_tile: int = 32, *, dims,
+                   include_tiled: bool = False):
+    """Resolve (G, window_mode, head_mode) for this shape, or None.
+
+    Plans are tried best-first: streamed double-buffered windows with the
+    full-width head (the measured small-vocab winner), then the
+    single-buffered window copy (half the window VMEM).
+
+    include_tiled additionally offers the tiled big-vocab head — VMEM-
+    feasible up to COCO-ID V=38,732 and exact, but OFF the auto ladder:
+    measured 2,411 captions/s vs fused_step's 3,012 at COCO b1024 bf16
+    (2026-08-20).  At that vocab the head matmul + top-K extraction +
+    one-hot embedding dominate every step, so the span's per-step window
+    amortisation no longer covers its in-kernel merge overhead; the
+    per-step engine reads the tables once per step for the WHOLE batch,
+    which is already the optimal table traffic.  (Two other schedules
+    measured worse: an HBM fc table re-DMA'd per image chunk per step,
+    991 c/s; an online per-tile log-sum-exp merge, rejected — its
+    per-lane reduction-order ULPs are a gratuitous divergence source
+    between engines.)  See BASELINE.md."""
+    plans = [(False, False), (True, False)]
+    if include_tiled:
+        plans += [(False, True), (True, True)]
+    for win_single, tiled in plans:
+        G = pick_span_tile(B, K, S, img_tile, dims=dims,
+                           win_single=win_single, tiled_head=tiled)
+        if G is not None:
+            return (G, "single" if win_single else "stream",
+                    "tiled" if tiled else "resident")
+    return None
+
+
 def _make_kernel(*, names, G, K, S, Pp, P, E, A, D, Emb, F, H, Vp, V,
-                 m, R, dt, end_id, cell="scn", L_emb=1, win_single=False):
+                 m, R, dt, end_id, cell="scn", L_emb=1, win_single=False,
+                 tiled_head=False):
     """Span kernel body.  names: ordered ref names matching the
     pallas_call layout in :func:`fused_decode_span`.
     cell: "scn" (factored semantic gates, order i,f,o,c — scn_cell.py) or
-    "lstm" (torch nn.LSTMCell, order i,f,g,o — lstm_cell.py)."""
+    "lstm" (torch nn.LSTMCell, order i,f,g,o — lstm_cell.py).
+    tiled_head: big-vocab schedule — the resident fc table is consumed in
+    VOCAB_TILE column slices into the full-width (R, Vp) f32 work array,
+    and the embedding one-hot is tiled over the resident limb tables.
+    Every logit value, the max/log-sum-exp reductions (full-width, same
+    shapes) and the top-K extraction are BIT-IDENTICAL to the resident
+    head — an earlier online-merge variant accumulated log-sum-exp per
+    tile, whose per-lane reduction-order ULPs are a gratuitous extra
+    divergence source between engines under bf16 near-ties."""
 
     def dot(a, b):
         return jax.lax.dot_general(a, b, (((1,), (0,)), ((), ())),
@@ -149,6 +214,7 @@ def _make_kernel(*, names, G, K, S, Pp, P, E, A, D, Emb, F, H, Vp, V,
         bd_scr, dec_scr, awe_scr = r["bd"], r["dec"], r["awe"]
 
         rows_r = jax.lax.broadcasted_iota(jnp.int32, (R, 1), 0)
+        Vt = min(VOCAB_TILE, Vp) if tiled_head else Vp
         cols_v = jax.lax.broadcasted_iota(jnp.int32, (R, Vp), 1)
         lane = jax.lax.broadcasted_iota(jnp.int32, (G, K), 1)
         kk = jax.lax.broadcasted_iota(jnp.int32, (G, K * K), 1)
@@ -213,10 +279,25 @@ def _make_kernel(*, names, G, K, S, Pp, P, E, A, D, Emb, F, H, Vp, V,
         for s in range(S):
             # ---- embedding lookup (one-hot MXU contraction against the
             # exact bf16 limb tables; see step_pallas.embedding_limbs) ----
-            oh = (cols_v == pw).astype(jnp.bfloat16)
-            emb_f = dot(oh, r["emb_tab"][0])
-            for li in range(1, L_emb):
-                emb_f = emb_f + dot(oh, r["emb_tab"][li])
+            if tiled_head:
+                # tile the one-hot over vocab slices of the resident
+                # table: each row's id lands in exactly one slice, every
+                # other slice contributes an exact 0.0 — bit-identical to
+                # the full-width contraction, without the (R, Vp) one-hot
+                emb_f = jnp.zeros((R, Emb), jnp.float32)
+                for base in range(0, Vp, Vt):
+                    w = min(Vt, Vp - base)
+                    cols_t = base + jax.lax.broadcasted_iota(
+                        jnp.int32, (R, w), 1)
+                    oh_t = (cols_t == pw).astype(jnp.bfloat16)
+                    for li in range(L_emb):
+                        emb_f = emb_f + dot(
+                            oh_t, r["emb_tab"][li, base:base + w, :])
+            else:
+                oh = (cols_v == pw).astype(jnp.bfloat16)
+                emb_f = dot(oh, r["emb_tab"][0])
+                for li in range(1, L_emb):
+                    emb_f = emb_f + dot(oh, r["emb_tab"][li])
             emb = emb_f.astype(dt)                         # (R, Emb)
 
             # ---- attention (step-kernel schedule) ----
@@ -287,24 +368,56 @@ def _make_kernel(*, names, G, K, S, Pp, P, E, A, D, Emb, F, H, Vp, V,
             h_new = o_g * tnh(c_new)
 
             # ---- vocab head + per-lane top-K (f32 logprobs) ----
-            logits = (dot(h_new, r["fcw"][:]).astype(dt)
-                      + r["fcb"][:].astype(dt))            # (R, Vp)
-            # Work array lives in an explicit scratch ref (in-place
-            # masking rounds) instead of loop-carried SSA values so the
-            # compiler doesn't keep two (R, Vp) f32 generations live at
-            # once — the VMEM saving is what lets larger image tiles fit.
-            lg = logits.astype(jnp.float32)
-            if V < Vp:
-                lg = jnp.where(cols_v < V, lg, float("-inf"))
-            mrow = jnp.max(lg, axis=1, keepdims=True)
-            work_scr = r["work"]
-            work_scr[:] = lg - mrow
+            work_scr = r["work"]                           # (R, Vp) f32
+            if tiled_head:
+                # Big-vocab schedule: the resident fc table is consumed in
+                # (D, Vt) column slices whose logit tiles land straight in
+                # the full-width work array — the (R, Vp) f32 SSA logit
+                # generations of the resident head (3 live copies at once,
+                # ~19 MB each at COCO) never materialise, which is what
+                # lets the table itself stay VMEM-resident (hoisted ONCE
+                # per kernel call; an HBM+DMA variant re-streamed the
+                # 40 MB table per image chunk per step and lost 3x).
+                # Each slice contracts the full D per column, so every
+                # logit is bit-identical to the resident single-dot head.
+                for base in range(0, Vp, Vt):
+                    w = min(Vt, Vp - base)
+                    lg_t = (dot(h_new, r["fcw"][:, base:base + w])
+                            .astype(dt)
+                            + r["fcb"][:, base:base + w].astype(dt)
+                            ).astype(jnp.float32)
+                    if V < base + w:
+                        cols_w = jax.lax.broadcasted_iota(
+                            jnp.int32, (R, w), 1)
+                        lg_t = jnp.where(base + cols_w < V, lg_t,
+                                         float("-inf"))
+                    work_scr[:, base:base + w] = lg_t
+                # full-width max / shift / log-sum-exp / extraction: the
+                # same shapes and reduction trees as the resident head
+                # (an online per-tile log-sum-exp is NOT equivalent: logs
+                # is per-lane, and its reduction-order ULPs would flip
+                # cross-lane beam near-ties at bf16)
+                mrow = jnp.max(work_scr[:], axis=1, keepdims=True)
+                work_scr[:] = work_scr[:] - mrow
+            else:
+                logits = (dot(h_new, r["fcw"][:]).astype(dt)
+                          + r["fcb"][:].astype(dt))        # (R, Vp)
+                # Work array lives in an explicit scratch ref (in-place
+                # masking rounds) instead of loop-carried SSA values so the
+                # compiler doesn't keep two (R, Vp) f32 generations live at
+                # once — the VMEM saving is what lets larger image tiles
+                # fit.
+                lg = logits.astype(jnp.float32)
+                if V < Vp:
+                    lg = jnp.where(cols_v < V, lg, float("-inf"))
+                mrow = jnp.max(lg, axis=1, keepdims=True)
+                work_scr[:] = lg - mrow
             logs = jnp.log(jnp.sum(jnp.exp(work_scr[:]), axis=1,
                                    keepdims=True))
             tvs, tis = [], []
             for _ in range(K):
                 v = jnp.max(work_scr[:], axis=1, keepdims=True)
-                a = jnp.argmax(work_scr[:], axis=1)[:, None]  # first occ.
+                a = jnp.argmax(work_scr[:], axis=1)[:, None]  # first occ
                 tvs.append(v)
                 tis.append(a)
                 work_scr[:] = jnp.where(cols_v == a, NEG, work_scr[:])
@@ -370,12 +483,12 @@ def _make_kernel(*, names, G, K, S, Pp, P, E, A, D, Emb, F, H, Vp, V,
 @functools.partial(
     jax.jit, static_argnames=("span", "num_pixels", "end_id", "img_tile",
                               "group", "interpret", "vocab_size", "cell",
-                              "window_mode"))
+                              "window_mode", "head_mode"))
 def fused_decode_span(weights, emb_tab, enc_p, enc_att_p, semx, semh,
                       h, c, sc, pw, alive, *, span: int, num_pixels: int,
                       end_id: int, img_tile: int = 32, group: int = 4,
                       interpret=None, vocab_size=None, cell: str = "scn",
-                      window_mode: str = "stream"):
+                      window_mode: str = "auto", head_mode: str = "auto"):
     """Run ``span`` consecutive beam steps over (B, K) lanes.
 
     weights: dict from ops/step_pallas.pack_step_weights (attention_scn
@@ -384,9 +497,14 @@ def fused_decode_span(weights, emb_tab, enc_p, enc_att_p, semx, semh,
     enc_p/enc_att_p: (B, Pp, E|A) pre-padded loop invariants.
     h/c: (B*K, D); sc: (B*K, 1) f32 cumulative scores (NEG on dead lanes);
     pw: (B*K, 1) i32 previous words; alive: (B, 1) i32 live-lane counts.
-    window_mode: "stream" (Mosaic double-buffered window pipeline) or
-    "single" (manual single-buffered DMA — half the window VMEM, so
-    bigger image tiles fit; bit-identical compute body).
+    window_mode: "auto" (pick_span_plan), "stream" (Mosaic double-buffered
+    window pipeline) or "single" (manual single-buffered DMA — half the
+    window VMEM, so bigger image tiles fit; bit-identical compute body).
+    head_mode: "auto" (pick_span_plan), "resident" (one full-width head
+    dot) or "tiled" (big-vocab/COCO-ID schedule: the resident fc table
+    consumed in VOCAB_TILE column slices into the full-width work array —
+    bit-identical logits, reductions and tie order, without the resident
+    head's full-width SSA logit generations).
     Returns (words, parents (B, span, K) i32, vals (B, span, K) f32,
     h', c', sc', pw', alive').
     """
@@ -405,10 +523,23 @@ def fused_decode_span(weights, emb_tab, enc_p, enc_att_p, semx, semh,
     dt = h.dtype
     S = span
 
+    dims = dict(Pp=Pp, E=E, A=A, D=D, Emb=Emb, F4=F4, Vp=Vp,
+                isz=jnp.dtype(dt).itemsize, group=group)
+    if window_mode == "auto" or head_mode == "auto":
+        plan = pick_span_plan(B, K, S, img_tile, dims=dims,
+                              include_tiled=head_mode == "tiled")
+        if plan is None:
+            raise ValueError(f"no VMEM-feasible span plan divides B={B} "
+                             f"with G*{K}%8==0")
+        _, plan_win, plan_head = plan
+        if window_mode == "auto":
+            window_mode = plan_win
+        if head_mode == "auto":
+            head_mode = plan_head
     win_single = window_mode == "single"
-    G = pick_span_tile(B, K, S, img_tile, dims=dict(
-        Pp=Pp, E=E, A=A, D=D, Emb=Emb, F4=F4, Vp=Vp,
-        isz=jnp.dtype(dt).itemsize, group=group, win_single=win_single))
+    tiled_head = head_mode == "tiled"
+    G = pick_span_tile(B, K, S, img_tile, dims=dims,
+                       win_single=win_single, tiled_head=tiled_head)
     if G is None:
         raise ValueError(f"no VMEM-feasible span tile G divides B={B} "
                          f"with G*{K}%8==0")
@@ -455,6 +586,7 @@ def fused_decode_span(weights, emb_tab, enc_p, enc_att_p, semx, semh,
 
     out_names = ["words", "parents", "vals", "h_out", "c_out", "sc_out",
                  "pw_out", "alive_out"]
+    Vt = min(VOCAB_TILE, Vp)
     scratch_names = ["bd", "dec", "awe", "work"]
     scratch_shapes = [pltpu.VMEM((m * Pp, m * K), dt),
                       pltpu.VMEM((R, A), dt), pltpu.VMEM((R, E), dt),
@@ -468,7 +600,7 @@ def fused_decode_span(weights, emb_tab, enc_p, enc_att_p, semx, semh,
         names=tuple(in_names + out_names + scratch_names),
         G=G, K=K, S=S, Pp=Pp, P=num_pixels, E=E, A=A, D=D, Emb=Emb,
         F=F, H=H, Vp=Vp, V=V, m=m, R=R, dt=dt, end_id=end_id, cell=cell,
-        L_emb=L_emb, win_single=win_single)
+        L_emb=L_emb, win_single=win_single, tiled_head=tiled_head)
 
     outs = pl.pallas_call(
         kernel,
@@ -488,7 +620,14 @@ def fused_decode_span(weights, emb_tab, enc_p, enc_att_p, semx, semh,
         ),
         scratch_shapes=scratch_shapes,
         interpret=interpret,
-        compiler_params=None if interpret else _compiler_params(),
+        compiler_params=None if interpret else (
+            # big-vocab schedule: both tables resident (~79 MB) + the
+            # full-width work array exceed Mosaic's default 114 MB scoped
+            # budget; the v5e has 128 MB of VMEM, so lift the limit to
+            # what the tiled head measures on-chip (126.7 MB at G=8)
+            pltpu.CompilerParams(dimension_semantics=("arbitrary",),
+                                 vmem_limit_bytes=127 * 1024 * 1024)
+            if tiled_head else _compiler_params()),
     )(*inputs)
     return outs
 
@@ -496,12 +635,13 @@ def fused_decode_span(weights, emb_tab, enc_p, enc_att_p, semx, semh,
 @functools.partial(
     jax.jit, static_argnames=("cfg", "beam_size", "start_id", "end_id",
                               "max_steps", "span", "img_tile", "group",
-                              "interpret", "window_mode"))
+                              "interpret", "window_mode", "head_mode"))
 def beam_decode_span_records(params, cfg, enc_flat, tags, *,
                              beam_size: int, start_id: int, end_id: int,
                              max_steps: int = 51, span: int = 4,
                              img_tile: int = 32, group: int = 4,
-                             interpret=None, window_mode: str = "stream"):
+                             interpret=None, window_mode: str = "auto",
+                             head_mode: str = "auto"):
     """Drive the span kernel over ceil(T/span) calls with early exit.
 
     Returns {"words"/"parents": (B, T, K) i32, "vals": (B, T, K) f32} for
@@ -563,7 +703,7 @@ def beam_decode_span_records(params, cfg, enc_flat, tags, *,
             c["h"], c["c"], c["sc"], c["pw"], c["alive"],
             span=S, num_pixels=P, end_id=end_id, img_tile=img_tile,
             group=group, interpret=interpret, vocab_size=V, cell=cell,
-            window_mode=window_mode)
+            window_mode=window_mode, head_mode=head_mode)
         at = (jnp.zeros((), jnp.int32), c["i"] * S, jnp.zeros((), jnp.int32))
         return dict(
             i=c["i"] + 1, h=h, c=cc, sc=sc, pw=pw, alive=alive,
