@@ -98,16 +98,20 @@ def e2e_main(batch: int = 64):
                                   beam_cfg=BeamConfig(beam_size=5))
         return out["sequences"], out["lengths"]
 
-    def serve(images_u8):
+    def serve_async(images_u8):
+        # async dispatch of the chunk's three programs; no host sync —
+        # the caller keeps the next chunk's dispatch in flight while the
+        # device works (VERDICT r2 #4: sustained serving must not idle
+        # the chip on the host round-trip between chunks)
         enc_out = encode(state, images_u8)
         tags = tag(state, images_u8)
-        return jax.device_get(decode(state, enc_out, tags)[1])
+        return decode(state, enc_out, tags)[1]
 
-    serve(images)  # compile + warm
-    n_iter = 3
+    jax.device_get(serve_async(images))  # compile + warm
+    n_iter = 6
     t0 = time.time()
-    for _ in range(n_iter):
-        serve(images)
+    pending = [serve_async(images) for _ in range(n_iter)]
+    jax.device_get(pending)              # one sync for the whole stream
     dt = (time.time() - t0) / n_iter
     imgs_per_s = B / dt
 
