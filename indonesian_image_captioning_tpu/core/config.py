@@ -185,7 +185,7 @@ class ModelConfig:
     #             DMA floor of the XLA scan); weight gradients leave the
     #             kernel as row-factor streams and become full-batch MXU
     #             matmuls.  Cached-epoch train step at b1024 bf16:
-    #             164 ms vs 259 XLA (+57%, 6,228 imgs/s).  attention_scn
+    #             147 ms vs 258 XLA (+75%, 6,962 imgs/s).  attention_scn
     #             only; gradients match XLA within float reassociation
     #             (tests/test_train_fused.py); no d_enc cotangent, so the
     #             fine-tune-encoder path (teacher_forcing(enc_grad=True))

@@ -66,11 +66,24 @@ kernels: softmax is shift-invariant, so alphas are identical and the
 bias's gradient is exactly zero in the math (the kernel reports 0; XLA
 reports the same up to roundoff).
 
-Measured (b1024 bf16 flagship dims, v5e): forward 36.1 ms vs 90.4 XLA,
-backward 93.1 ms vs ~130 XLA (was 190 before the row-factor streams and
-244 before per-span stacking; the single biggest step was giving
-d_alpha the transposed window — the (M=Pp, N=1) layout burned ~63 ms in
-one MXU column tile).  Cached-epoch train step: 164 vs 259 ms (+57%).
+Measured (b1024 bf16 flagship dims, v5e): forward 34.4 ms vs 90.4 XLA,
+backward 74.6 ms vs ~130 XLA — 2.17x the forward where the FLOPs ratio
+is ~2x (was 93.1 = 2.7x; 190 before the row-factor streams; 244 before
+per-span stacking; the single biggest early step was giving d_alpha the
+transposed window — the (M=Pp, N=1) layout burned ~63 ms in one MXU
+column tile).  The 93 -> 74.6 restructure (2026-08-20): (1) pass-A
+batched recomputes — every forward quantity that depends only on
+streamed inputs (dec, f_beta gate, awe, xin, xfac/hfac, gate pre-acts)
+is recomputed ONCE per span at M = G*S rows instead of per-step at
+M = G, quadrupling MXU row utilisation for the recompute half of the
+FLOPs; (2) the loop-invariant wf is factored out of the per-step
+(G, Pp, A) d_e product — the accumulator keeps Σ d_att ⊙ relu-mask and
+wf multiplies once per chunk, and the wf GRADIENT itself reduces to
+ea ⊙ d_ea_raw once per chunk plus a (G, A) FMA per step (the per-step
+(M=1, K=Pp) d_wf dots measured 6.7 ms of the old 92); (3) gate-pair
+interleaved weights (wxhp): d_pre_g contracts against [wxp_g; whp_g] in
+one (K=H, N=2F) dot instead of two.  Cached-epoch train step: 147.1 vs
+257.7 ms XLA (+75%, 6,962 imgs/s).
 """
 
 from __future__ import annotations
@@ -85,12 +98,21 @@ from jax.experimental.pallas import tpu as pltpu
 from .attention_pallas import _VMEM_LIMIT, _round_up
 
 
-def _params2d():
+def _params2d(limit=_VMEM_LIMIT):
     # both grid dims are sequential (spans carry state; chunks accumulate
     # into shared weight-grad blocks)
     return pltpu.CompilerParams(
         dimension_semantics=("arbitrary", "arbitrary"),
-        vmem_limit_bytes=_VMEM_LIMIT)
+        vmem_limit_bytes=limit)
+
+
+# The backward runs right at the edge of VMEM: its pass-A batched
+# recomputes add ~4 MB of span-resident values on top of the windows,
+# streams and the f32 d_ea accumulator, compiling to ~118 MB scoped at
+# G=16 flagship dims.  v5e has 128 MB of VMEM; grant the backward the
+# extra headroom instead of dropping to G=8 (which would halve the M
+# dimension of every matmul in the kernel).
+_VMEM_LIMIT_BWD = 123 * 1024 * 1024
 
 # Separate budgets: the forward's big window tiles double-buffer and its
 # e-tensor keeps extra live generations the estimate can't see (a G=32
@@ -142,7 +164,15 @@ def _estimate_bwd_vmem(G, S, *, Pp, E, A, D, F4, isz, cell="scn"):
     d_ea = 2 * G * Pp * A * 4                          # f32 chunk-resident
     scratch = 4 * G * D * 4
     e_tmp = 2 * G * Pp * A * (isz + 4) + 2 * G * Pp * 4
-    return win + streams + rows + d_ea + grads + scratch + e_tmp \
+    # pass-A batched recomputes live across the whole span loop:
+    # f32 gate/xfac/hfac_raw/hfac/pre×4/tc + dt dec/awe/xin
+    if cell == "scn":
+        pass_a = G * S * ((E + 3 * F4 + 4 * H + D) * 4
+                          + (A + 2 * E + 2 * F4) * isz)
+    else:
+        pass_a = G * S * ((E + 4 * H + D) * 4
+                          + (A + 2 * E + 2 * F4) * isz)
+    return win + streams + rows + d_ea + grads + scratch + e_tmp + pass_a \
         + _weights_bytes(E=E, A=A, D=D, F4=F4, H=H, isz=isz, cell=cell)
 
 
@@ -318,7 +348,6 @@ def _make_bwd_kernel(*, names, G, S, n_spans, Pp, P, E, A, D, F, H,
             semx = r["semx"][:, 0, :].astype(f32)
             semh = r["semh"][:, 0, :].astype(f32)
         wf = r["wf"][:].astype(f32)                      # (1, A)
-        prow3 = jax.lax.broadcasted_iota(jnp.int32, (G, Pp, 1), 1)
 
         # Only the wf gradient accumulates in-kernel (it contracts
         # against e, which never leaves VMEM); every other weight
@@ -330,64 +359,104 @@ def _make_bwd_kernel(*, names, G, S, n_spans, Pp, P, E, A, D, F, H,
         if cell == "scn":
             d_semx_acc = jnp.zeros((G, F4), f32)
             d_semh_acc = jnp.zeros((G, F4), f32)
-        d_ea_acc = jnp.zeros((G, Pp, A), f32)
 
+        # ---- pass A: batched recompute of every forward quantity that
+        # depends only on streamed inputs (h_prev, awe_raw, emb_fac,
+        # c_all).  These matmuls run once per span at M = G*S rows
+        # instead of S times at M = G — the reverse-chain loop below is
+        # inherently sequential, but the recompute half of the
+        # backward's FLOPs is not.  dot_general flattens the (G, S)
+        # leading dims into the MXU M dimension; each output row is the
+        # same K-dot as the per-step matmul, so values are unchanged.
+        def d3(x, w):                                    # (G, S, K) @ (K, N)
+            g, s, k = x.shape
+            return _mm(x.reshape(g * s, k), w).reshape(g, s, -1)
+        hp3 = r["h_prev"][:, 0]                          # (G, S, D) dt
+        awe_raw3 = r["awe_raw"][:, 0]                    # (G, S, E) dt
+        dec_all = (d3(hp3, r["wda"][:]).astype(dt)
+                   + r["bda"][:].astype(dt))             # (G, S, A) dt
+        gate_all = sigf(d3(hp3, r["wfb"][:])
+                        + r["bfb"][:].astype(f32))       # (G, S, E) f32
+        awe_all = gate_all.astype(dt) * awe_raw3         # (G, S, E) dt
+        xin_all = (r["emb_fac"][:, 0]
+                   + d3(awe_all, r["wxa"][:]).astype(dt))  # (G, S, F4)
+        tc_all = tnhf(r["c_all"][:, 0])                  # (G, S, D) f32
+        if cell == "scn":
+            # xfac/hfac are consumed only through .astype(dt) (the pre
+            # matmuls and the dt stream writes), so the dt cast here is
+            # bit-identical to the per-step path and halves their
+            # span-resident footprint; hfac_raw stays f32 (d_semh needs
+            # the f32 product).
+            xfac_all = (xin_all.astype(f32)
+                        * semx[:, None, :]).astype(dt)
+            hfac_raw_all = d3(hp3, r["wh"][:])           # (G, S, F4) f32
+            hfac_all = (hfac_raw_all * semh[:, None, :]).astype(dt)
+            pre_all = []
+            for g4 in range(4):
+                sl = slice(g4 * F, (g4 + 1) * F)
+                slh = slice(g4 * H, (g4 + 1) * H)
+                xg = d3(xfac_all[:, :, sl],
+                        r["wxhp"][2 * g4 * F:(2 * g4 + 1) * F, :]) \
+                    + r["bx"][:, slh].astype(f32)
+                hg = d3(hfac_all[:, :, sl],
+                        r["wxhp"][(2 * g4 + 1) * F:(2 * g4 + 2) * F, :]) \
+                    + r["bh"][:, slh].astype(f32)
+                pre_all.append(xg + hg)                  # (G, S, H) f32
+            i_all = sigf(pre_all[0])
+            f_all = sigf(pre_all[1])
+            o_all = sigf(pre_all[2])
+            g_all = tnhf(pre_all[3])
+        else:
+            pre_cat = (xin_all.astype(f32) + d3(hp3, r["wh"][:])
+                       + r["bx"][:].astype(f32)
+                       + r["bh"][:].astype(f32))         # (G, S, 4H) f32
+            i_all = sigf(pre_cat[:, :, :H])
+            f_all = sigf(pre_cat[:, :, H:2 * H])
+            g_all = tnhf(pre_cat[:, :, 2 * H:3 * H])
+            o_all = sigf(pre_cat[:, :, 3 * H:])
+
+        wfdec_acc = jnp.zeros((G, A), f32)
         for sub in reversed(range(S)):
-            h_prev = r["h_prev"][:, 0, sub, :]              # (G, D) dt
             c_prev = r["c_prev"][:, 0, sub, :]
-            c_t = r["c_all"][:, 0, sub, :]
             alpha = r["alphas"][:, 0, sub, :].astype(f32)   # (G, Pp)
-            emb_fac = r["emb_fac"][:, 0, sub, :]
 
-            # ---- recompute the step (forward kernel order; awe_raw is
-            # a saved residual, not recomputed) ----
-            dec = (_mm(h_prev, r["wda"][:]).astype(dt)
-                   + r["bda"][:].astype(dt))
-            e = jnp.maximum(ea + dec[:, None, :], 0)     # (G, Pp, A) dt
-            awe_raw = r["awe_raw"][:, 0, sub, :]         # (G, E) dt
-            gate_pre = _mm(h_prev, r["wfb"][:]) \
-                + r["bfb"][:].astype(f32)                # (G, E) f32
-            gate = sigf(gate_pre)
-            awe = gate.astype(dt) * awe_raw
-            xin = (emb_fac + _mm(awe, r["wxa"][:]).astype(dt))
+            dec = dec_all[:, sub]                        # (G, A) dt
+            awe_raw = awe_raw3[:, sub]                   # (G, E) dt
+            gate = gate_all[:, sub]                      # (G, E) f32
+            awe = awe_all[:, sub]
+            xin = xin_all[:, sub]
             dh_t = dh + r["d_hall"][:, 0, sub, :].astype(f32)
-            tc = tnhf(c_t)
+            tc = tc_all[:, sub]
+            i_g, f_g, o_g, g_t = (i_all[:, sub], f_all[:, sub],
+                                  o_all[:, sub], g_all[:, sub])
 
             if cell == "scn":
-                xfac = xin.astype(f32) * semx            # (G, F4) f32
-                hfac_raw = _mm(h_prev, r["wh"][:])       # (G, F4) f32
-                hfac = hfac_raw * semh
-                pre = []
-                for g4 in range(4):
-                    sl = slice(g4 * F, (g4 + 1) * F)
-                    slh = slice(g4 * H, (g4 + 1) * H)
-                    xg = _mm(xfac[:, sl].astype(dt), r["wxp"][sl, :]) \
-                        + r["bx"][:, slh].astype(f32)
-                    hg = _mm(hfac[:, sl].astype(dt), r["whp"][sl, :]) \
-                        + r["bh"][:, slh].astype(f32)
-                    pre.append(xg + hg)                  # (G, H) f32
-                i_g = sigf(pre[0])
-                f_g = sigf(pre[1])
-                o_g = sigf(pre[2])
-                g_t = tnhf(pre[3])
+                xfac = xfac_all[:, sub]                  # (G, F4) f32
+                hfac_raw = hfac_raw_all[:, sub]
+                hfac = hfac_all[:, sub]
 
-                # ---- cell backward ----
-                d_o = dh_t * tc * o_g * (1.0 - o_g)
-                dc_t = dc + dh_t * o_g * (1.0 - tc * tc)
-                d_f = dc_t * c_prev.astype(f32) * f_g * (1.0 - f_g)
-                d_i = dc_t * g_t * i_g * (1.0 - i_g)
-                d_g = dc_t * i_g * (1.0 - g_t * g_t)
-                dc = dc_t * f_g
+            # ---- cell backward (gates recomputed batched in pass A) ----
+            d_o = dh_t * tc * o_g * (1.0 - o_g)
+            dc_t = dc + dh_t * o_g * (1.0 - tc * tc)
+            d_f = dc_t * c_prev.astype(f32) * f_g * (1.0 - f_g)
+            d_i = dc_t * g_t * i_g * (1.0 - i_g)
+            d_g = dc_t * i_g * (1.0 - g_t * g_t)
+            dc = dc_t * f_g
+
+            if cell == "scn":
                 d_pre = [d_i, d_f, d_o, d_g]             # gate order i,f,o,c
 
                 dh_new = jnp.zeros((G, D), f32)
                 d_xfac = []
                 d_hfac = []
                 for g4 in range(4):
-                    sl = slice(g4 * F, (g4 + 1) * F)
                     dp = d_pre[g4].astype(dt)            # (G, H)
-                    d_xfac.append(_dot(dp, r["wxp"][sl, :], ((1,), (1,))))
-                    d_hfac.append(_dot(dp, r["whp"][sl, :], ((1,), (1,))))
+                    # one (K=H, N=2F) dot against the interleaved
+                    # [wxp_g; whp_g] pair instead of two N=F dots
+                    db = _dot(dp, r["wxhp"][2 * g4 * F:(2 * g4 + 2) * F,
+                                            :], ((1,), (1,)))  # (G, 2F)
+                    d_xfac.append(db[:, :F])
+                    d_hfac.append(db[:, F:])
                 d_xfac = jnp.concatenate(d_xfac, axis=1)  # (G, F4) f32
                 d_hfac = jnp.concatenate(d_hfac, axis=1)
                 r["dpre"][:, 0, sub, :] = jnp.concatenate(
@@ -405,22 +474,8 @@ def _make_bwd_kernel(*, names, G, S, n_spans, Pp, P, E, A, D, F, H,
                 d_semx_acc = d_semx_acc + d_xfac * xin.astype(f32)
                 r["d_emb"][:, 0, sub, :] = d_xin.astype(dt)
             else:
-                # ---- torch LSTM recompute + backward (gate order
-                # i, f, g, o; pre = xin + h@w_hh + b_ih + b_hh) ----
-                pre_all = (xin.astype(f32) + _mm(h_prev, r["wh"][:])
-                           + r["bx"][:].astype(f32)
-                           + r["bh"][:].astype(f32))     # (G, 4H) f32
-                i_g = sigf(pre_all[:, :H])
-                f_g = sigf(pre_all[:, H:2 * H])
-                g_t = tnhf(pre_all[:, 2 * H:3 * H])
-                o_g = sigf(pre_all[:, 3 * H:])
-
-                d_o = dh_t * tc * o_g * (1.0 - o_g)
-                dc_t = dc + dh_t * o_g * (1.0 - tc * tc)
-                d_f = dc_t * c_prev.astype(f32) * f_g * (1.0 - f_g)
-                d_i = dc_t * g_t * i_g * (1.0 - i_g)
-                d_g = dc_t * i_g * (1.0 - g_t * g_t)
-                dc = dc_t * f_g
+                # torch LSTM: pre = xin + h@w_hh + b_ih + b_hh, gate
+                # order i, f, g, o — pre's cotangent IS xin's
                 d_pre = jnp.concatenate([d_i, d_f, d_g, d_o],
                                         axis=1).astype(dt)  # (G, 4H)
                 r["dpre"][:, 0, sub, :] = d_pre          # doubles as d_emb
@@ -459,26 +514,42 @@ def _make_bwd_kernel(*, names, G, S, n_spans, Pp, P, E, A, D, F, H,
             d_att = alpha * (d_alpha - inner)            # (G, Pp) f32
             # bf16 vector comparisons are unsupported on this target —
             # the relu mask compares in f32
+            # d_e = d_att ⊗ wf ⊙ relu-mask, but wf is loop-invariant: the
+            # accumulator keeps the wf-FREE product Σ_t d_att_t ⊙ mask_t
+            # and the single ⊗ wf broadcast happens once per chunk at
+            # finalize — one (G, Pp, A) VPU pass per STEP becomes one
+            # per CHUNK (the d_dec row reduce re-applies wf on its (G, A)
+            # result, where it is ~Pp× cheaper).  No padded-row where is
+            # needed: alpha at padded rows is exp(-inf) == exact 0 from
+            # the forward softmax, so d_att (and with it d_m) is already
+            # an exact 0 there.  The wf GRADIENT also leaves the step
+            # loop: with e = mask ⊙ (ea + dec),
+            #   Σ_t d_att_t ⊙ e_t = ea ⊙ Σ_t d_m_t  +  dec_t ⊙ Σ_p d_m_t
+            # so it reduces to one ea ⊙ d_ea_raw contraction per CHUNK
+            # plus a (G, A) FMA per step on the already-computed d_dec
+            # row sums.
             if ablate == "node":
-                d_e = jnp.zeros((G, Pp, A), f32)
+                mask_dt = jnp.zeros((G, Pp, A), dt)
             else:
-                d_e = (d_att[:, :, None] * wf[None, :, :]
-                       * (e.astype(f32) > 0.0).astype(f32))  # f32
-                if P < Pp:
-                    d_e = jnp.where(prow3 < P, d_e, 0.0)
+                mask_dt = ((ea + dec[:, None, :]).astype(f32)
+                           > 0.0).astype(dt)             # (G, Pp, A) 0/1
             if ablate != "nodea":
-                d_ea_acc = d_ea_acc + d_e
-            # Pp-reduces of (G, Pp, A) via batched dots (a plain
-            # sum(axis=1) hits a Mosaic relayout bug on the (G, A) result)
-            d_att3 = d_att[:, :, None].astype(dt)        # (G, Pp, 1)
+                # accumulate straight into the chunk-resident output
+                # block: a second span-local (G, Pp, A) f32 generation
+                # is exactly the VMEM that pushes G=16 over the limit
+                r["d_ea"][:] = r["d_ea"][:] + d_att[:, :, None] \
+                    * mask_dt.astype(f32)
+            # Pp-reduce of d_att ⊙ mask via a batched dot (a plain
+            # sum(axis=1) hits a Mosaic relayout bug on the (G, A)
+            # result); contracting d_att against the 0/1 mask directly
+            # skips materialising the d_m product in dt entirely
+            d_dec_raw = jax.lax.dot_general(
+                d_att[:, None, :].astype(dt), mask_dt,
+                (((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=f32)[:, 0, :]     # (G, A) f32
             if ablate != "nowf":
-                add("wf", jnp.sum(jax.lax.dot_general(
-                    d_att3, e, (((1,), (1,)), ((0,), (0,))),
-                    preferred_element_type=f32), axis=0))  # (1, A) f32
-            ones_p = jnp.ones((G, 1, Pp), dt)
-            d_dec = jax.lax.dot_general(
-                ones_p, d_e.astype(dt), (((2,), (1,)), ((0,), (0,))),
-                preferred_element_type=f32)[:, 0, :].astype(dt)  # (G, A)
+                wfdec_acc = wfdec_acc + d_dec_raw * dec.astype(f32)
+            d_dec = (d_dec_raw * wf).astype(dt)          # (G, A)
             r["ddec"][:, 0, sub, :] = d_dec
             dh_new = dh_new + _dot(d_dec, r["wda"][:], ((1,), (1,)))
             dh = dh_new
@@ -486,7 +557,18 @@ def _make_bwd_kernel(*, names, G, S, n_spans, Pp, P, E, A, D, F, H,
         if cell == "scn":
             r["d_semx"][:, 0, :] = r["d_semx"][:, 0, :] + d_semx_acc
             r["d_semh"][:, 0, :] = r["d_semh"][:, 0, :] + d_semh_acc
-        r["d_ea"][:] = r["d_ea"][:] + d_ea_acc
+        add("wf", jnp.sum(wfdec_acc, axis=0, keepdims=True))
+
+        @pl.when(s_id == n_spans - 1)
+        def _():
+            d_ea_raw = r["d_ea"][:]
+            ones_p = jnp.ones((G, 1, Pp), dt)
+            ea_term = jax.lax.dot_general(                # Σ_p d_ea ⊙ ea
+                ones_p, (d_ea_raw * ea.astype(f32)).astype(dt),
+                (((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=f32)[:, 0, :]     # (G, A) f32
+            add("wf", jnp.sum(ea_term, axis=0, keepdims=True))
+            r["d_ea"][:] = d_ea_raw * wf[None, :, :]
         r["dh_scr"][:] = dh
         r["dc_scr"][:] = dc
 
@@ -500,12 +582,17 @@ def _make_bwd_kernel(*, names, G, S, n_spans, Pp, P, E, A, D, F, H,
 
 _WEIGHT_NAMES_SCN = ("wda", "bda", "wf", "wfb", "bfb", "wxa", "wh", "wxp",
                      "whp", "bx", "bh")
+# the backward reads the gate-interleaved wxhp instead of wxp/whp
+_WEIGHT_NAMES_SCN_BWD = ("wda", "bda", "wf", "wfb", "bfb", "wxa", "wh",
+                         "wxhp", "bx", "bh")
 _WEIGHT_NAMES_LSTM = ("wda", "bda", "wf", "wfb", "bfb", "wxa", "wh",
                       "bx", "bh")
 
 
-def _weight_names(cell_kind: str):
-    return _WEIGHT_NAMES_SCN if cell_kind == "scn" else _WEIGHT_NAMES_LSTM
+def _weight_names(cell_kind: str, backward: bool = False):
+    if cell_kind != "scn":
+        return _WEIGHT_NAMES_LSTM
+    return _WEIGHT_NAMES_SCN_BWD if backward else _WEIGHT_NAMES_SCN
 
 
 def _cell_kind_of(kw) -> str:
@@ -538,11 +625,19 @@ def pack_train_weights(params, cfg, dt):
             "bh": cell["b_hh"].reshape(1, 4 * H).astype(dt),
         })
         return kw
+    wxp4 = cell["w_xp"].reshape(4, F, H)
+    whp4 = cell["w_hp"].reshape(4, F, H)
     kw.update({
         "wxa": cell["w_x"][Emb:].astype(dt),
         "wh": cell["w_h"].astype(dt),
         "wxp": cell["w_xp"].reshape(4 * F, H).astype(dt),
         "whp": cell["w_hp"].reshape(4 * F, H).astype(dt),
+        # gate-interleaved [wxp_g; whp_g] pairs: the backward contracts
+        # d_pre_g against both factor projections in ONE (K=H, N=2F)
+        # matmul per gate instead of two — the cotangent flows through
+        # the separate wxp/whp entries (d_wxhp is returned as exact 0)
+        "wxhp": jnp.stack([wxp4, whp4], axis=1).reshape(8 * F, H)
+        .astype(dt),
         "bx": cell["b_x"].reshape(1, 4 * H).astype(dt),
         "bh": cell["b_h"].reshape(1, 4 * H).astype(dt),
     })
@@ -699,7 +794,7 @@ def _bwd_call(kw, enc_p, ea_p, emb_fac, semx, semh, h0, c0,
         in_names += ["semx", "semh"]
         in_specs += [rows3(F4), rows3(F4)]
         inputs += [r3(semx), r3(semh)]
-    for nm in _weight_names(cell):
+    for nm in _weight_names(cell, backward=True):
         in_names.append(nm)
         in_specs.append(const(*kw[nm].shape))
         inputs.append(kw[nm])
@@ -743,7 +838,7 @@ def _bwd_call(kw, enc_p, ea_p, emb_fac, semx, semh, h0, c0,
         scratch_shapes=[pltpu.VMEM((G, D), jnp.float32),
                         pltpu.VMEM((G, D), jnp.float32)],
         interpret=interpret,
-        compiler_params=None if interpret else _params2d(),
+        compiler_params=None if interpret else _params2d(_VMEM_LIMIT_BWD),
     )(*inputs)
     outs = dict(zip(out_names, outs))
     d_ea, d_wf = outs["d_ea"], outs["d_wf"]
@@ -792,6 +887,11 @@ def _bwd_call(kw, enc_p, ea_p, emb_fac, semx, semh, h0, c0,
                        keepdims=True),
     })
     d_kw["bh"] = d_kw["bx"]
+    if cell == "scn":
+        # the interleaved pair is a packing of wxp/whp whose real
+        # cotangents are returned above; autodiff through the stack in
+        # pack_train_weights must contribute nothing extra
+        d_kw["wxhp"] = jnp.zeros_like(kw["wxhp"])
     return (d_ea, d_emb.reshape(B, Tp, F4), d_semx, d_semh,
             dh0[:, 0], dc0[:, 0], d_kw)
 

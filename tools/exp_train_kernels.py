@@ -98,7 +98,7 @@ def main():
     for w in what:
         if not w.startswith("bwd"):
             continue
-        ablate = w[4:] or None if len(w) > 3 else None
+        ablate = w[3:] or None
         h_all, c_all, alphas, awe_raw = fwd(save_awe=True)
         d_hall = jnp.ones((B, Tp, 512), dt) * 0.01
         d_alphas = jnp.zeros((B, Tp, alphas.shape[-1]), jnp.float32)
