@@ -167,8 +167,11 @@ def _estimate_bwd_vmem(G, S, *, Pp, E, A, D, F4, isz, cell="scn"):
     # pass-A batched recomputes live across the whole span loop:
     # f32 gate/xfac/hfac_raw/hfac/pre×4/tc + dt dec/awe/xin
     if cell == "scn":
+        # dt residents: dec A + awe E + xin/xfac/hfac 3·F4 (NOT 2E+2F4 —
+        # that coincides only at E == F4, the flagship case; for F4 > E it
+        # undercounted against the near-ceiling budget)
         pass_a = G * S * ((E + 3 * F4 + 4 * H + D) * 4
-                          + (A + 2 * E + 2 * F4) * isz)
+                          + (A + E + 3 * F4) * isz)
     else:
         pass_a = G * S * ((E + 4 * H + D) * 4
                           + (A + 2 * E + 2 * F4) * isz)
@@ -563,11 +566,16 @@ def _make_bwd_kernel(*, names, G, S, n_spans, Pp, P, E, A, D, F, H,
         def _():
             d_ea_raw = r["d_ea"][:]
             ones_p = jnp.ones((G, 1, Pp), dt)
-            ea_term = jax.lax.dot_general(                # Σ_p d_ea ⊙ ea
-                ones_p, (d_ea_raw * ea.astype(f32)).astype(dt),
-                (((2,), (1,)), ((0,), (0,))),
-                preferred_element_type=f32)[:, 0, :]     # (G, A) f32
-            add("wf", jnp.sum(ea_term, axis=0, keepdims=True))
+            # NOTE (ablations): under ablate='node'/'nodea' d_ea stays
+            # zero, so this ea-half of the wf gradient is zero there too —
+            # those probes time a wf-grad missing its ea term.  Guarded by
+            # 'nowf' so the nowf probe drops BOTH halves consistently.
+            if ablate != "nowf":
+                ea_term = jax.lax.dot_general(            # Σ_p d_ea ⊙ ea
+                    ones_p, (d_ea_raw * ea.astype(f32)).astype(dt),
+                    (((2,), (1,)), ((0,), (0,))),
+                    preferred_element_type=f32)[:, 0, :]  # (G, A) f32
+                add("wf", jnp.sum(ea_term, axis=0, keepdims=True))
             r["d_ea"][:] = d_ea_raw * wf[None, :, :]
         r["dh_scr"][:] = dh
         r["dc_scr"][:] = dc

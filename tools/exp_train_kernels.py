@@ -98,7 +98,11 @@ def main():
     for w in what:
         if not w.startswith("bwd"):
             continue
-        ablate = w[3:] or None
+        ablate = w[3:].lstrip("-:") or None
+        known = (None, "noatt", "nodalpha", "node", "nodea", "nowf")
+        if ablate not in known:
+            raise SystemExit(f"unknown bwd ablation {ablate!r}; "
+                             f"expected one of {known[1:]}")
         h_all, c_all, alphas, awe_raw = fwd(save_awe=True)
         d_hall = jnp.ones((B, Tp, 512), dt) * 0.01
         d_alphas = jnp.zeros((B, Tp, alphas.shape[-1]), jnp.float32)
