@@ -1,9 +1,12 @@
 #!/usr/bin/env python
 """Headline benchmark: batched beam-5 caption decode throughput.
 
-Prints ONE JSON line:
+The FIRST JSON line keeps the round-1 schema:
   {"metric": "captions_per_sec_beam5", "value": N, "unit": "captions/s",
    "vs_baseline": N / <reference CPU captions/s>}
+The default mode then also prints a cached-epoch train-throughput line and
+an end-to-end serving line (VERDICT r3 #8: round-over-round progress on
+training and serving must be driver-visible, not just decode).
 
 Baseline (BASELINE.md): the unmodified PyTorch reference AttentionSCN
 ``sample()`` at identical dims (512/512/512/512, semantic 1000, V=6763,
@@ -213,6 +216,66 @@ def latency_main(batch: int = 1):
     }))
 
 
+def train_main(batch: int = 1024, decoder_dtype: str = "bfloat16"):
+    """Cached-epoch caption train throughput (the production fused
+    training-scan kernel pair, b1024 bf16): one full jitted train step —
+    fused fwd+bwd scan kernels, vocab head, masked CE + alpha reg, clip,
+    Adam — on precomputed encoder features.  vs_baseline is conservative:
+    the reference CPU managed 32 imgs / 15.97 s = 2.0 imgs/s for the
+    teacher-forced FORWARD alone (BASELINE.md), before loss/backward/Adam.
+    """
+    from indonesian_image_captioning_tpu.core import runtime
+    runtime.setup()
+    import jax
+    import numpy as np
+    from indonesian_image_captioning_tpu.core.config import (
+        ModelConfig, TrainConfig)
+    from indonesian_image_captioning_tpu.core.prng import root_key
+    from indonesian_image_captioning_tpu.train import caption as caption_train
+    from indonesian_image_captioning_tpu.train import steps
+
+    V = 6763
+    B = batch
+    cfg = ModelConfig(model_type="attention_scn", vocab_size=V)
+    opt = steps.make_optimizer(4e-4, 5.0)
+    state = jax.device_put(caption_train.init_state(root_key(0), cfg, opt))
+    tcfg = TrainConfig(batch_size=B, decoder_dtype=decoder_dtype)
+    _, step = steps.make_caption_train_step(cfg, tcfg, opt, donate=False)
+
+    rng = np.random.default_rng(0)
+    enc = jax.device_put((rng.standard_normal(
+        (B, cfg.enc_image_size, cfg.enc_image_size, cfg.encoder_dim)) * 0.1
+        ).astype(np.float32))
+    tags = jax.device_put(rng.random((B, 1000)).astype(np.float32))
+    caps = jax.device_put(rng.integers(
+        1, V, (B, cfg.max_caption_len)).astype(np.int32))
+    caplens = jax.device_put(np.full((B,), 30, np.int32))
+    key = jax.random.key(1)
+    sub = {"params": state["params"], "opt_state": state["opt_state"]}
+
+    def dispatch():
+        return step(sub, enc, tags, caps, caplens, key)[1]["loss"]
+
+    # compile + warm; sync on the SCALAR loss (fetching arrays through the
+    # axon relay inflates the measurement; see BASELINE.md)
+    loss = float(jax.device_get(dispatch()))
+    assert np.isfinite(loss)
+    n_iter = 5
+    t0 = time.time()
+    for _ in range(n_iter):
+        out = dispatch()
+    float(jax.device_get(out))  # one sync; in-order execution covers all
+    dt = (time.time() - t0) / n_iter
+    imgs_per_s = B / dt
+    print(json.dumps({
+        "metric": "train_images_per_sec_cached",
+        "value": round(imgs_per_s, 1), "unit": "images/s",
+        "step_ms": round(dt * 1e3, 1), "batch": B,
+        "decoder_dtype": decoder_dtype,
+        "vs_baseline": round(imgs_per_s / 2.004, 1),
+    }))
+
+
 def main(batch: int = 1024, model: str = "attention_scn"):
     from indonesian_image_captioning_tpu.core import runtime
     runtime.setup()
@@ -270,9 +333,13 @@ def main(batch: int = 1024, model: str = "attention_scn"):
 
 if __name__ == "__main__":
     ap = argparse.ArgumentParser()
-    ap.add_argument("--mode", choices=("decode", "e2e", "latency"),
-                    default="decode",
-                    help="decode = headline captions/s (driver default); "
+    ap.add_argument("--mode", choices=("all", "decode", "train", "e2e",
+                                       "latency"),
+                    default="all",
+                    help="all = decode headline line FIRST (schema "
+                         "unchanged), then train + e2e lines (driver "
+                         "default); decode = headline captions/s only; "
+                         "train = cached-epoch train imgs/s; "
                          "e2e = uint8 image -> caption serving + MFU; "
                          "latency = single-request image -> caption ms")
     # saturation with the fused per-step kernel (decode_impl auto ->
@@ -293,5 +360,11 @@ if __name__ == "__main__":
         e2e_main(args.batch or 256)
     elif args.mode == "latency":
         latency_main(args.batch or 1)
-    else:
+    elif args.mode == "train":
+        train_main(args.batch or 1024)
+    elif args.mode == "decode":
         main(args.batch or 2048, args.model)
+    else:  # all: headline decode line first, then train + e2e
+        main(args.batch or 2048, args.model)
+        train_main(1024)
+        e2e_main(256)

@@ -114,6 +114,17 @@ def _params2d(limit=_VMEM_LIMIT):
 # dimension of every matmul in the kernel).
 _VMEM_LIMIT_BWD = 123 * 1024 * 1024
 
+
+def _limit(backward: bool) -> int:
+    """Mosaic scoped-VMEM ceiling for the kernel compile (experiment
+    override: IIC_TRAIN_{FWD,BWD}_LIMIT in MB; the chip has 128)."""
+    import os
+    env = os.environ.get("IIC_TRAIN_BWD_LIMIT" if backward
+                         else "IIC_TRAIN_FWD_LIMIT")
+    if env:
+        return int(env) * 1024 * 1024
+    return _VMEM_LIMIT_BWD if backward else _VMEM_LIMIT
+
 # Separate budgets: the forward's big window tiles double-buffer and its
 # e-tensor keeps extra live generations the estimate can't see (a G=32
 # bf16 forward estimated ~101 MB compiled to 120.95 MB scoped), so its
@@ -733,7 +744,7 @@ def _fwd_call(kw, enc_p, ea_p, emb_fac, semx, semh, h0, c0, *, span,
         out_shape=tuple(out_shape),
         scratch_shapes=[pltpu.VMEM((G, D), dt), pltpu.VMEM((G, D), dt)],
         interpret=interpret,
-        compiler_params=None if interpret else _params2d(),
+        compiler_params=None if interpret else _params2d(_limit(False)),
     )(*inputs)
     h_all, c_all, alphas = outs[:3]
     res = (h_all.reshape(B, Tp, D), c_all.reshape(B, Tp, D),
@@ -846,7 +857,7 @@ def _bwd_call(kw, enc_p, ea_p, emb_fac, semx, semh, h0, c0,
         scratch_shapes=[pltpu.VMEM((G, D), jnp.float32),
                         pltpu.VMEM((G, D), jnp.float32)],
         interpret=interpret,
-        compiler_params=None if interpret else _params2d(_VMEM_LIMIT_BWD),
+        compiler_params=None if interpret else _params2d(_limit(True)),
     )(*inputs)
     outs = dict(zip(out_names, outs))
     d_ea, d_wf = outs["d_ea"], outs["d_wf"]
