@@ -226,12 +226,37 @@ def _mm(a, b):
 
 
 def _make_fwd_kernel(*, names, G, S, Pp, P, E, A, D, F, H, F4, dt,
-                     save_awe, cell="scn"):
-    def sig(x):  # f32 transcendentals (Mosaic bf16 logistic bug workaround)
-        return jax.nn.sigmoid(x.astype(jnp.float32)).astype(dt)
+                     save_awe, cell="scn", ablate=None):
+    """ablate (timing probes only, tools/exp_train_floor.py — values are
+    wrong under any ablation): 'noawe' replaces the per-image M=1
+    alpha@enc batched dot with a window slice; 'noe' replaces the
+    (G, Pp, A) e-tensor relu/mul/reduce VPU pass with a slice; 'nogates'
+    skips the 8 factor->hidden gate matmuls; 'nohproj' skips every h@W
+    projection (dec, f_beta, hfac); 'noxin' skips the awe@wxa matmul;
+    'skeleton' strips ALL of the above at once — what remains is stream
+    DMA + softmax + cell elementwise + loop/issue overhead."""
+    if ablate == "skeleton":
+        ablate = {"noawe", "noe", "nogates", "nohproj", "noxin"}
+    elif ablate == "skelmin":
+        ablate = {"noawe", "noe", "nogates", "nohproj", "noxin",
+                  "notrans", "nostore"}
+    else:
+        ablate = {ablate} if ablate else set()
 
-    def tnh(x):
-        return jnp.tanh(x.astype(jnp.float32)).astype(dt)
+    if "notrans" in ablate:
+        # probe: transcendental cost — clamped affine stand-ins
+        def sig(x):
+            return jnp.clip(x.astype(jnp.float32) * 0.25 + 0.5,
+                            0.0, 1.0).astype(dt)
+
+        def tnh(x):
+            return jnp.clip(x.astype(jnp.float32), -1.0, 1.0).astype(dt)
+    else:
+        def sig(x):  # f32 transcendentals (Mosaic bf16 logistic bug fix)
+            return jax.nn.sigmoid(x.astype(jnp.float32)).astype(dt)
+
+        def tnh(x):
+            return jnp.tanh(x.astype(jnp.float32)).astype(dt)
 
     def kernel(*refs):
         r = dict(zip(names, refs))
@@ -255,45 +280,72 @@ def _make_fwd_kernel(*, names, G, S, Pp, P, E, A, D, F, H, F4, dt,
         for sub in range(S):
             # ---- attention (models/attention.py:38-70, vectorised over
             # the chunk; K=1 per image in training) ----
-            dec = (_mm(h, r["wda"][:]).astype(dt)
-                   + r["bda"][:].astype(dt))             # (G, A)
-            e = jnp.maximum(ea + dec[:, None, :], 0)     # (G, Pp, A)
-            # f32 ACCUMULATION without materialising an f32 copy of e
-            # (13.6 MB/generation at G=32): products round to dt, the
-            # reduce accumulates f32 — the bf16-mode XLA path rounds the
-            # same way (its score matmul runs in bf16).
-            att = jnp.sum(e * wf[None, :, :].astype(dt), axis=2,
-                          dtype=jnp.float32)
+            if "nohproj" in ablate:
+                dec = jnp.broadcast_to(r["bda"][:].astype(dt), (G, A))
+            else:
+                dec = (_mm(h, r["wda"][:]).astype(dt)
+                       + r["bda"][:].astype(dt))         # (G, A)
+            if "noe" in ablate:
+                # a real reduce (not a slice of a possibly-broadcast dec):
+                # Mosaic can't broadcast a (1,1) value in both dims
+                att = ea[:, :, 0].astype(jnp.float32) + jnp.sum(
+                    dec.astype(jnp.float32), axis=1, keepdims=True)
+            else:
+                e = jnp.maximum(ea + dec[:, None, :], 0)  # (G, Pp, A)
+                # f32 ACCUMULATION without materialising an f32 copy of e
+                # (13.6 MB/generation at G=32): products round to dt, the
+                # reduce accumulates f32 — the bf16-mode XLA path rounds
+                # the same way (its score matmul runs in bf16).
+                att = jnp.sum(e * wf[None, :, :].astype(dt), axis=2,
+                              dtype=jnp.float32)
             if P < Pp:
                 att = jnp.where(prow < P, att, float("-inf"))
             mx = jnp.max(att, axis=1, keepdims=True)
             ex = jnp.exp(att - mx)
             alpha = ex / jnp.sum(ex, axis=1, keepdims=True)  # (G, Pp) f32
-            r["alphas"][:, 0, sub, :] = alpha        # f32 ref
-            # batched contraction (G, Pp) x (G, Pp, E) -> (G, E)
-            # rank-change BEFORE the dt cast: bf16 reshapes at the
-            # lane-unaligned Pp width fail Mosaic layout inference
-            awe_raw = jax.lax.dot_general(
-                alpha[:, None, :].astype(dt), enc,
-                (((2,), (1,)), ((0,), (0,))),
-                preferred_element_type=jnp.float32)[:, 0, :].astype(dt)
+            if "nostore" not in ablate:
+                r["alphas"][:, 0, sub, :] = alpha    # f32 ref
+            if "noawe" in ablate:
+                awe_raw = enc[:, 0, :] * alpha[:, :1].astype(dt)
+            else:
+                # batched contraction (G, Pp) x (G, Pp, E) -> (G, E)
+                # rank-change BEFORE the dt cast: bf16 reshapes at the
+                # lane-unaligned Pp width fail Mosaic layout inference
+                awe_raw = jax.lax.dot_general(
+                    alpha[:, None, :].astype(dt), enc,
+                    (((2,), (1,)), ((0,), (0,))),
+                    preferred_element_type=jnp.float32)[:, 0, :].astype(dt)
             if save_awe:
                 # residual for the backward: saves it both the awe_raw
                 # recompute and the untransposed enc window
                 r["awe_raw"][:, 0, sub, :] = awe_raw
-            gate = sig(_mm(h, r["wfb"][:]).astype(dt) + r["bfb"][:].astype(dt))
+            if "nohproj" in ablate:
+                gate = sig(jnp.broadcast_to(r["bfb"][:].astype(dt), (G, E)))
+            else:
+                gate = sig(_mm(h, r["wfb"][:]).astype(dt)
+                           + r["bfb"][:].astype(dt))
             awe = gate * awe_raw                         # (G, E)
 
-            xin = (r["emb_fac"][:, 0, sub, :]
-                   + _mm(awe, r["wxa"][:]).astype(dt))   # (G, F4)
+            if "noxin" in ablate:
+                xin = r["emb_fac"][:, 0, sub, :] + awe[:, :F4]
+            else:
+                xin = (r["emb_fac"][:, 0, sub, :]
+                       + _mm(awe, r["wxa"][:]).astype(dt))  # (G, F4)
             if cell == "scn":
                 # ---- SCN recurrence (models/scn_cell.scn_step) ----
                 xfac = xin * semx
-                hfac = _mm(h, r["wh"][:]).astype(dt) * semh
+                if "nohproj" in ablate:
+                    hfac = xfac * semh
+                else:
+                    hfac = _mm(h, r["wh"][:]).astype(dt) * semh
                 pre = []
                 for g4 in range(4):
                     sl = slice(g4 * F, (g4 + 1) * F)
                     slh = slice(g4 * H, (g4 + 1) * H)
+                    if "nogates" in ablate:
+                        pre.append((xfac[:, sl] + hfac[:, sl]
+                                    + r["bx"][:, slh].astype(dt)))
+                        continue
                     xg = _mm(xfac[:, sl], r["wxp"][sl, :]) \
                         + r["bx"][:, slh].astype(jnp.float32)
                     hg = _mm(hfac[:, sl], r["whp"][sl, :]) \
@@ -317,9 +369,18 @@ def _make_fwd_kernel(*, names, G, S, Pp, P, E, A, D, F, H, F4, dt,
                 o_g = sig(pre_all[:, 3 * H:])
             c = f_g * c + i_g * g_t
             h = o_g * tnh(c)
-            r["h_all"][:, 0, sub, :] = h
-            r["c_all"][:, 0, sub, :] = c
+            if "nostore" not in ablate:
+                r["h_all"][:, 0, sub, :] = h
+                r["c_all"][:, 0, sub, :] = c
 
+        if "nostore" in ablate:
+            # probe: one block store per span instead of S sub-stores
+            r["h_all"][:] = jnp.broadcast_to(h[:, None, None, :],
+                                             (G, 1, S, D))
+            r["c_all"][:] = jnp.broadcast_to(c[:, None, None, :],
+                                             (G, 1, S, D))
+            r["alphas"][:] = jnp.broadcast_to(
+                alpha[:, None, None, :].astype(jnp.float32), (G, 1, S, Pp))
         r["h_scr"][:] = h
         r["c_scr"][:] = c
 
@@ -669,9 +730,10 @@ def _span_pad(T: int, span: int) -> int:
 
 @functools.partial(jax.jit, static_argnames=("span", "num_pixels",
                                              "img_tile", "interpret",
-                                             "save_awe"))
+                                             "save_awe", "ablate"))
 def _fwd_call(kw, enc_p, ea_p, emb_fac, semx, semh, h0, c0, *, span,
-              num_pixels, img_tile, interpret, save_awe=False):
+              num_pixels, img_tile, interpret, save_awe=False,
+              ablate=None):
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
     cell = _cell_kind_of(kw)
@@ -735,7 +797,7 @@ def _fwd_call(kw, enc_p, ea_p, emb_fac, semx, semh, h0, c0, *, span,
     kernel = _make_fwd_kernel(
         names=tuple(in_names + out_names + scratch_names),
         G=G, S=S, Pp=Pp, P=num_pixels, E=E, A=A, D=D, F=F, H=H, F4=F4,
-        dt=dt, save_awe=save_awe, cell=cell)
+        dt=dt, save_awe=save_awe, cell=cell, ablate=ablate)
     outs = pl.pallas_call(
         kernel,
         grid=(B // G, n_spans),
