@@ -278,13 +278,15 @@ def _make_fwd_kernel(*, names, G, S, Pp, P, E, A, D, F, H, F4, dt,
         prow = jax.lax.broadcasted_iota(jnp.int32, (G, Pp), 1)
 
         for sub in range(S):
-            # ---- attention (models/attention.py:38-70, vectorised over
-            # the chunk; K=1 per image in training) ----
+            # ---- every h@W projection (attention dec, f_beta gate, cell
+            # recurrence) in ONE packed matmul: the step loop is
+            # op-issue-latency-bound (exp_train_floor), so one wide dot
+            # beats three narrow ones; slices at lane-aligned offsets ----
             if "nohproj" in ablate:
-                dec = jnp.broadcast_to(r["bda"][:].astype(dt), (G, A))
+                hall = jnp.broadcast_to(r["bhcat"][:], (G, A + E + F4))
             else:
-                dec = (_mm(h, r["wda"][:]).astype(dt)
-                       + r["bda"][:].astype(dt))         # (G, A)
+                hall = _mm(h, r["whcat"][:]) + r["bhcat"][:]  # f32
+            dec = hall[:, :A].astype(dt)                 # (G, A)
             if "noe" in ablate:
                 # a real reduce (not a slice of a possibly-broadcast dec):
                 # Mosaic can't broadcast a (1,1) value in both dims
@@ -319,11 +321,7 @@ def _make_fwd_kernel(*, names, G, S, Pp, P, E, A, D, F, H, F4, dt,
                 # residual for the backward: saves it both the awe_raw
                 # recompute and the untransposed enc window
                 r["awe_raw"][:, 0, sub, :] = awe_raw
-            if "nohproj" in ablate:
-                gate = sig(jnp.broadcast_to(r["bfb"][:].astype(dt), (G, E)))
-            else:
-                gate = sig(_mm(h, r["wfb"][:]).astype(dt)
-                           + r["bfb"][:].astype(dt))
+            gate = sig(hall[:, A:A + E])                 # f_beta (G, E)
             awe = gate * awe_raw                         # (G, E)
 
             if "noxin" in ablate:
@@ -334,39 +332,34 @@ def _make_fwd_kernel(*, names, G, S, Pp, P, E, A, D, F, H, F4, dt,
             if cell == "scn":
                 # ---- SCN recurrence (models/scn_cell.scn_step) ----
                 xfac = xin * semx
-                if "nohproj" in ablate:
-                    hfac = xfac * semh
+                hfac = hall[:, A + E:].astype(dt) * semh  # bias seg is 0
+                if "nogates" in ablate:
+                    pre_full = (xfac + hfac).astype(jnp.float32) \
+                        + r["bxh"][:]
                 else:
-                    hfac = _mm(h, r["wh"][:]).astype(dt) * semh
-                pre = []
-                for g4 in range(4):
-                    sl = slice(g4 * F, (g4 + 1) * F)
-                    slh = slice(g4 * H, (g4 + 1) * H)
-                    if "nogates" in ablate:
-                        pre.append((xfac[:, sl] + hfac[:, sl]
-                                    + r["bx"][:, slh].astype(dt)))
-                        continue
-                    xg = _mm(xfac[:, sl], r["wxp"][sl, :]) \
-                        + r["bx"][:, slh].astype(jnp.float32)
-                    hg = _mm(hfac[:, sl], r["whp"][sl, :]) \
-                        + r["bh"][:, slh].astype(jnp.float32)
-                    pre.append((xg + hg).astype(dt))
-                i_g = sig(pre[0])
-                f_g = sig(pre[1])
-                o_g = sig(pre[2])
-                g_t = tnh(pre[3])
+                    pre_full = jnp.concatenate(
+                        [_mm(xfac[:, g4 * F:(g4 + 1) * F],
+                             r["wxp"][g4 * F:(g4 + 1) * F, :])
+                         + _mm(hfac[:, g4 * F:(g4 + 1) * F],
+                               r["whp"][g4 * F:(g4 + 1) * F, :])
+                         for g4 in range(4)], axis=1) + r["bxh"][:]
+                # gate order i, f, o, c: one sigmoid over the first 3H
+                # lanes, one tanh over the last H — two transcendental
+                # ops per step instead of four
+                sg = sig(pre_full[:, :3 * H])
+                i_g, f_g, o_g = (sg[:, :H], sg[:, H:2 * H], sg[:, 2 * H:])
+                g_t = tnh(pre_full[:, 3 * H:])
             else:
                 # ---- torch LSTM recurrence (models/lstm_cell.lstm_step,
                 # gate order i, f, g, o) — xin already carries b-free
                 # emb@w_ih[:Emb] + awe@w_ih[Emb:]; F4 == 4H here ----
                 pre_all = (xin.astype(jnp.float32)
-                           + _mm(h, r["wh"][:])
-                           + r["bx"][:].astype(jnp.float32)
-                           + r["bh"][:].astype(jnp.float32)).astype(dt)
-                i_g = sig(pre_all[:, :H])
-                f_g = sig(pre_all[:, H:2 * H])
+                           + hall[:, A + E:]            # h@w_hh, bias 0
+                           + r["bxh"][:])
+                sg = sig(jnp.concatenate(
+                    [pre_all[:, :2 * H], pre_all[:, 3 * H:]], axis=1))
+                i_g, f_g, o_g = (sg[:, :H], sg[:, H:2 * H], sg[:, 2 * H:])
                 g_t = tnh(pre_all[:, 2 * H:3 * H])
-                o_g = sig(pre_all[:, 3 * H:])
             c = f_g * c + i_g * g_t
             h = o_g * tnh(c)
             if "nostore" not in ablate:
@@ -660,18 +653,18 @@ def _make_bwd_kernel(*, names, G, S, n_spans, Pp, P, E, A, D, F, H,
     return kernel
 
 
-_WEIGHT_NAMES_SCN = ("wda", "bda", "wf", "wfb", "bfb", "wxa", "wh", "wxp",
-                     "whp", "bx", "bh")
+_WEIGHT_NAMES_SCN = ("whcat", "bhcat", "wf", "wxa", "wxp", "whp", "bxh")
 # the backward reads the gate-interleaved wxhp instead of wxp/whp
 _WEIGHT_NAMES_SCN_BWD = ("wda", "bda", "wf", "wfb", "bfb", "wxa", "wh",
                          "wxhp", "bx", "bh")
-_WEIGHT_NAMES_LSTM = ("wda", "bda", "wf", "wfb", "bfb", "wxa", "wh",
-                      "bx", "bh")
+_WEIGHT_NAMES_LSTM = ("whcat", "bhcat", "wf", "wxa", "bxh")
+_WEIGHT_NAMES_LSTM_BWD = ("wda", "bda", "wf", "wfb", "bfb", "wxa", "wh",
+                          "bx", "bh")
 
 
 def _weight_names(cell_kind: str, backward: bool = False):
     if cell_kind != "scn":
-        return _WEIGHT_NAMES_LSTM
+        return _WEIGHT_NAMES_LSTM_BWD if backward else _WEIGHT_NAMES_LSTM
     return _WEIGHT_NAMES_SCN_BWD if backward else _WEIGHT_NAMES_SCN
 
 
@@ -695,6 +688,23 @@ def pack_train_weights(params, cfg, dt):
         "wfb": params["f_beta"]["w"].astype(dt),
         "bfb": params["f_beta"]["b"].reshape(1, E).astype(dt),
     }
+
+    def hpack(wh_like, width):
+        # every per-step h@W projection (attention dec, f_beta gate, cell
+        # recurrence) as ONE packed (D, A+E+width) matmul: the serial
+        # step loop is op-issue-latency-bound (tools/exp_train_floor.py
+        # — the no-matmul skeleton is ~13 of the 34 ms forward), so
+        # fewer, wider ops per step beat three narrow ones.  The wh
+        # segment's bias is zero, keeping that slice bit-identical to
+        # the separate h@wh dot.  Cotangents flow through the separate
+        # wda/wfb/wh entries; the packed copies' come back as exact 0.
+        kw["whcat"] = jnp.concatenate(
+            [kw["wda"], kw["wfb"], wh_like], axis=1)
+        kw["bhcat"] = jnp.concatenate(
+            [kw["bda"].astype(jnp.float32),
+             kw["bfb"].astype(jnp.float32),
+             jnp.zeros((1, width), jnp.float32)], axis=1)
+
     if cfg.model_type == "pure_attention":
         # torch LSTMCell: fused (in, 4H) weights; the embedding slab of
         # w_ih is projected outside the kernel (emb_fac)
@@ -704,6 +714,9 @@ def pack_train_weights(params, cfg, dt):
             "bx": cell["b_ih"].reshape(1, 4 * H).astype(dt),
             "bh": cell["b_hh"].reshape(1, 4 * H).astype(dt),
         })
+        hpack(kw["wh"], 4 * H)
+        kw["bxh"] = (cell["b_ih"].astype(jnp.float32)
+                     + cell["b_hh"].astype(jnp.float32)).reshape(1, 4 * H)
         return kw
     wxp4 = cell["w_xp"].reshape(4, F, H)
     whp4 = cell["w_hp"].reshape(4, F, H)
@@ -721,6 +734,9 @@ def pack_train_weights(params, cfg, dt):
         "bx": cell["b_x"].reshape(1, 4 * H).astype(dt),
         "bh": cell["b_h"].reshape(1, 4 * H).astype(dt),
     })
+    hpack(kw["wh"], 4 * F)
+    kw["bxh"] = (cell["b_x"].astype(jnp.float32)
+                 + cell["b_h"].astype(jnp.float32)).reshape(1, 4 * H)
     return kw
 
 
@@ -973,6 +989,10 @@ def _bwd_call(kw, enc_p, ea_p, emb_fac, semx, semh, h0, c0,
         # cotangents are returned above; autodiff through the stack in
         # pack_train_weights must contribute nothing extra
         d_kw["wxhp"] = jnp.zeros_like(kw["wxhp"])
+    # same for the forward's packed h-projection weights/biases: the true
+    # gradients are attributed to the separate wda/wfb/wh/... entries
+    for nm in ("whcat", "bhcat", "bxh"):
+        d_kw[nm] = jnp.zeros_like(kw[nm])
     return (d_ea, d_emb.reshape(B, Tp, F4), d_semx, d_semh,
             dh0[:, 0], dc0[:, 0], d_kw)
 
