@@ -84,6 +84,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="device mesh as data,model axis sizes, e.g. 8,1 for "
                         "pure DP or 4,2 for DP+vocab-sharded TP; default "
                         "single device")
+    p.add_argument("--mesh_order", default=None,
+                   choices=("rowmajor", "colmajor"),
+                   help="mesh device enumeration order: rowmajor (default) "
+                        "keeps TP groups on host-local devices; colmajor "
+                        "strides the model axis across hosts")
     p.add_argument("--model_json", default=None,
                    help="JSON dict (inline or a file path) of ModelConfig / "
                         "TaggerConfig field overrides, e.g. "
@@ -162,6 +167,8 @@ def _override(tcfg: TrainConfig, args) -> TrainConfig:
             raise SystemExit(f"--mesh must be D or D,M with positive sizes, "
                              f"got {args.mesh!r}")
         kw["mesh_shape"] = parts
+    if getattr(args, "mesh_order", None):
+        kw["mesh_order"] = args.mesh_order
     return dataclasses.replace(tcfg, **kw) if kw else tcfg
 
 

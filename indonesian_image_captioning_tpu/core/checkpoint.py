@@ -140,14 +140,23 @@ def _multihost_barrier(tag: str) -> None:
 def save_pytree(path: str, tree) -> None:
     """Write ``tree`` to ``path``.
 
-    Multi-host: state reaching this point is fully replicated (DP training
-    keeps params/opt replicated; sharded-TP multi-host saving would need
-    orbax global-array serialisation and is not supported), so process 0
-    writes alone and everyone barriers — both before rmtree (no process
-    may still be reading the old version) and after the write (no process
-    may read a half-written checkpoint).
+    Multi-host: replicated leaves (the DP case) fetch directly; leaves
+    SHARDED across processes (multi-host TP: vocab-sharded fc/embedding/
+    Adam moments) are all-gathered first with
+    ``multihost_utils.process_allgather`` so every process materialises
+    the same global value.  Process 0 writes alone and everyone barriers —
+    both before rmtree (no process may still be reading the old version)
+    and after the write (no process may read a half-written checkpoint).
     """
-    tree = jax.tree.map(np.asarray, jax.device_get(tree))
+    def fetch(x):
+        if (isinstance(x, jax.Array) and not x.is_fully_addressable
+                and not x.sharding.is_fully_replicated):
+            from jax.experimental import multihost_utils
+            return np.asarray(
+                multihost_utils.process_allgather(x, tiled=True))
+        return np.asarray(jax.device_get(x))
+
+    tree = jax.tree.map(fetch, tree)
     if jax.process_index() == 0 and os.path.exists(path):
         shutil.rmtree(path)
     # no process may enter the write before the old version is cleared

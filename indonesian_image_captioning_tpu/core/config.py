@@ -254,6 +254,10 @@ class TrainConfig:
     # Parallelism: data-parallel axis size (1 = single chip).  The mesh is
     # (data, model); model-axis sharding is applied to the vocab projection.
     mesh_shape: Tuple[int, int] = (1, 1)
+    # device enumeration order of the mesh: "rowmajor" keeps TP groups on
+    # host-local devices; "colmajor" strides the model axis across hosts
+    # (core/meshes.make_mesh)
+    mesh_order: str = "rowmajor"
     # Compute dtype for the FROZEN encoder/tagger forwards during caption
     # training (they take ~85% of the step in f32; bf16 is 1.85x faster on
     # v5e).  The differentiated decoder stays f32.  Set "float32" for

@@ -21,12 +21,22 @@ MODEL_AXIS = "model"
 
 
 def make_mesh(mesh_shape: Optional[Tuple[int, int]] = None,
-              devices: Optional[Sequence[jax.Device]] = None) -> Mesh:
+              devices: Optional[Sequence[jax.Device]] = None,
+              order: str = "rowmajor") -> Mesh:
     """Build a (data, model) mesh.
 
     mesh_shape=None uses all visible devices on the data axis — the right
     default for this workload (models are ~30-90M params; DP is the win,
     TP is optional for the 38k-vocab COCO-ID head).
+
+    order controls which axis is adjacent in device enumeration order:
+    "rowmajor" (default) makes the MODEL axis contiguous — on a pod
+    slice, TP groups stay within a host's local devices and ride the
+    fastest ICI hops, while DP gradient psums cross hosts (they are
+    per-step, bandwidth-tolerant).  "colmajor" transposes that: the
+    model axis STRIDES across hosts (device (d, m) = devices[m*D + d]) —
+    the layout to exercise cross-process TP collectives explicitly
+    (tests/test_distributed.py does, per SURVEY.md §5 P3).
     """
     devices = list(devices if devices is not None else jax.devices())
     if mesh_shape is None:
@@ -35,7 +45,12 @@ def make_mesh(mesh_shape: Optional[Tuple[int, int]] = None,
     if d * m > len(devices):
         raise ValueError(
             f"mesh_shape {mesh_shape} needs {d*m} devices, got {len(devices)}")
-    arr = np.asarray(devices[:d * m]).reshape(d, m)
+    if order == "colmajor":
+        arr = np.asarray(devices[:d * m]).reshape(m, d).T
+    elif order == "rowmajor":
+        arr = np.asarray(devices[:d * m]).reshape(d, m)
+    else:
+        raise ValueError(f"unknown mesh order {order!r}")
     return Mesh(arr, (DATA_AXIS, MODEL_AXIS))
 
 
@@ -101,6 +116,36 @@ def initialize_distributed(coordinator_address=None, num_processes=None,
     jax.distributed.initialize(coordinator_address=coordinator_address,
                                num_processes=num_processes,
                                process_id=process_id)
+
+
+def process_data_slice(mesh: Mesh) -> Tuple[int, int]:
+    """(block_index, n_blocks) of the DATA-axis rows this process must
+    supply to ``jax.make_array_from_process_local_data``.
+
+    With the default rowmajor layout each process owns a contiguous block
+    of data rows (block_index = its position, n_blocks = process count
+    along data).  With colmajor TP-across-hosts layouts a process can own
+    a model-column of EVERY data row — then its local slice is the whole
+    batch (n_blocks = 1).  Deriving the slice from the mesh itself keeps
+    the loaders correct under any (data, model) device assignment.
+    """
+    me = jax.process_index()
+    dev = mesh.devices  # (D, M) ndarray of Devices
+    rows = [i for i in range(dev.shape[0])
+            if any(d.process_index == me for d in dev[i])]
+    if not rows:
+        raise ValueError("process owns no devices on the data axis")
+    lo, hi = rows[0], rows[-1]
+    if rows != list(range(lo, hi + 1)):
+        raise ValueError(
+            f"process {me}'s data rows {rows} are not contiguous; "
+            f"reorder the mesh (make_mesh order=...) so per-process "
+            f"input slices are well-defined")
+    span = hi - lo + 1
+    if dev.shape[0] % span:
+        raise ValueError(f"data axis {dev.shape[0]} not divisible by "
+                         f"per-process span {span}")
+    return lo // span, dev.shape[0] // span
 
 
 def replicate_for_host_fetch(tree, mesh: Mesh):

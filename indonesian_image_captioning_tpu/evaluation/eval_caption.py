@@ -117,8 +117,16 @@ def evaluate(state: Dict, cfg: ModelConfig, data_cfg: DataConfig,
             out_specs=(P(DATA_AXIS), P(DATA_AXIS)), **{flag: False}))
 
         def place_images(x):
-            return jax.device_put(
-                x, NamedSharding(mesh, P(DATA_AXIS, *([None] * (x.ndim - 1)))))
+            shd = NamedSharding(mesh, P(DATA_AXIS, *([None] * (x.ndim - 1))))
+            if jax.process_count() > 1:
+                # multi-host: every process feeds its mesh-derived slice
+                # of the global batch (SURVEY.md §5 P3)
+                from ..core.meshes import process_data_slice
+                blk, nblk = process_data_slice(mesh)
+                local = x.shape[0] // nblk
+                return jax.make_array_from_process_local_data(
+                    shd, x[blk * local:(blk + 1) * local])
+            return jax.device_put(x, shd)
     else:
         state = jax.device_put(state)
 
@@ -129,7 +137,13 @@ def evaluate(state: Dict, cfg: ModelConfig, data_cfg: DataConfig,
         pad = batch_size - len(idx)
         img_idx = np.concatenate([idx, np.zeros(pad, np.int64)]) if pad else idx
         images = place_images(np.stack([ds.image(int(i)) for i in img_idx]))
-        seqs, lens = jax.device_get(encode_and_decode(state, images))
+        out = encode_and_decode(state, images)
+        if mesh is not None and jax.process_count() > 1:
+            # all-gather the data-sharded outputs so every process scores
+            # the full hypothesis set identically
+            from ..core.meshes import replicate_for_host_fetch
+            out = replicate_for_host_fetch(out, mesh)
+        seqs, lens = jax.device_get(out)
         for row, i in enumerate(idx):
             seq = seqs[row][:int(lens[row])]
             hypotheses.append([rev_word_map[int(w)] for w in seq
@@ -146,7 +160,9 @@ def evaluate(state: Dict, cfg: ModelConfig, data_cfg: DataConfig,
                                          include_cider=include_cider)
     log(str(scores))
 
-    if output_root:
+    if output_root and jax.process_index() == 0:
+        # process 0 writes artifacts (every process computed identical
+        # scores from the all-gathered hypotheses)
         # artifact layout parity: eval_caption.py:146-163 — per-run dir with
         # `{type}_beam_{k}_{references,hypotheses,scores}.json` files
         stamp = datetime.datetime.now().strftime("%Y%m%d-%H%M%S")

@@ -111,7 +111,7 @@ def main(model_type: str,
         from jax.sharding import NamedSharding, PartitionSpec as P
         from ..core.meshes import DATA_AXIS, make_mesh
         from ..parallel import sharding as sh
-        mesh = make_mesh(tuple(tcfg.mesh_shape))
+        mesh = make_mesh(tuple(tcfg.mesh_shape), order=tcfg.mesh_order)
         data_par = tcfg.mesh_shape[0]
         shard_vocab = tcfg.mesh_shape[1] > 1
         if tcfg.batch_size % data_par:
@@ -125,9 +125,15 @@ def main(model_type: str,
     # per-process input sharding (multi-host: each process gathers its
     # slice of the global batch; single process == identity)
     import jax as _jax
-    proc = (dict(process_index=_jax.process_index(),
-                 process_count=_jax.process_count())
-            if mesh is not None else {})
+    if mesh is not None and _jax.process_count() > 1:
+        # derive the per-process batch slice from the mesh itself: with
+        # colmajor TP-across-hosts layouts a process owns a model column
+        # of every data row and must supply the whole batch
+        from ..core.meshes import process_data_slice
+        blk, nblk = process_data_slice(mesh)
+        proc = dict(process_index=blk, process_count=nblk)
+    else:
+        proc = {}
 
     optimizer = steps.make_optimizer(tcfg.decoder_lr, tcfg.grad_clip)
     key = root_key(tcfg.seed)

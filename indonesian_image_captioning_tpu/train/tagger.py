@@ -80,7 +80,7 @@ def main(data_cfg: DataConfig = DataConfig(),
         from ..core.meshes import DATA_AXIS, make_mesh
         from ..parallel import sharding as sh
         from ..parallel.train_step import make_parallel_tagger_train_step
-        mesh = make_mesh(tuple(tcfg.mesh_shape))
+        mesh = make_mesh(tuple(tcfg.mesh_shape), order=tcfg.mesh_order)
         if tcfg.batch_size % tcfg.mesh_shape[0]:
             raise ValueError(
                 f"batch_size {tcfg.batch_size} must be divisible by the "
@@ -107,10 +107,14 @@ def main(data_cfg: DataConfig = DataConfig(),
     eval_step = steps.make_tagger_eval_step(
         arch=tagger_cfg.encoder_arch,
         compute_dtype=getattr(tcfg, "tagger_dtype", "float32"))
-    # per-process input sharding (multi-host; single process == identity)
-    proc = (dict(process_index=jax.process_index(),
-                 process_count=jax.process_count())
-            if mesh is not None else {})
+    # per-process input sharding (multi-host; single process == identity;
+    # the slice derives from the mesh — see core/meshes.process_data_slice)
+    if mesh is not None and jax.process_count() > 1:
+        from ..core.meshes import process_data_slice
+        blk, nblk = process_data_slice(mesh)
+        proc = dict(process_index=blk, process_count=nblk)
+    else:
+        proc = {}
     drop_key = stream(key, "tagger_dropout")
     n_train = loader_lib.num_batches(len(train_ds), tcfg.batch_size)
     n_val = loader_lib.num_batches(len(val_ds), tcfg.batch_size)

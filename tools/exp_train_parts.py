@@ -32,6 +32,9 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch", type=int, default=1024)
     ap.add_argument("--decoder-dtype", default="bfloat16")
+    ap.add_argument("--vocab", type=int, default=6763,
+                    help="38732 = the reference COCO-ID vocab "
+                         "(corpus_score.py:110-118)")
     args = ap.parse_args()
 
     from indonesian_image_captioning_tpu.core import runtime
@@ -47,7 +50,7 @@ def main():
     from indonesian_image_captioning_tpu.train import caption as ct
     from indonesian_image_captioning_tpu.train import steps
 
-    V = 6763
+    V = args.vocab
     B = args.batch
     cfg = ModelConfig(model_type="attention_scn", vocab_size=V)
     opt = steps.make_optimizer(4e-4, 5.0)
@@ -94,7 +97,7 @@ def main():
     t_fl = timed(fwd_loss, params_c, enc_c, tags_c, caps, caplens, key)
     t_grad = timed(grad_fn, params_c, enc_c, tags_c, caps, caplens, key)
     t_step = timed(lambda: step(sub, enc, tags, caps, caplens, key)[1]["loss"])
-    print(f"B={B} dtype={args.decoder_dtype}")
+    print(f"B={B} V={V} dtype={args.decoder_dtype}")
     print(f"  forward scan only (preds+alphas sums): {t_fwd:7.1f} ms")
     print(f"  forward + loss:                        {t_fl:7.1f} ms")
     print(f"  grad (fwd+bwd):                        {t_grad:7.1f} ms")

@@ -38,6 +38,16 @@ def main():
                          "(train/feature_cache.py): an HBM gather of the "
                          "batch's feature/tag rows replaces both ResNet-152 "
                          "forwards")
+    ap.add_argument("--fine-tune", action="store_true",
+                    help="the fine_tune_encoder recipe "
+                         "(/root/reference/models/encoders/caption.py:44-57,"
+                         " trains/attention_scn.py:84-96): joint Adam on "
+                         "the decoder AND ResNet stages 2-4, train-mode "
+                         "BN, XLA decoder scan (the fused kernel emits no "
+                         "d_enc)")
+    ap.add_argument("--encoder-remat", default=None,
+                    help="TrainConfig.encoder_remat for --fine-tune "
+                         "(e.g. blocks; needed at b>=128)")
     args = ap.parse_args()
 
     from indonesian_image_captioning_tpu.core import runtime
@@ -62,7 +72,17 @@ def main():
               if args.encoder_dtype else {})
         if args.decoder_dtype:
             kw["decoder_dtype"] = args.decoder_dtype
+        if args.fine_tune:
+            kw["fine_tune_encoder"] = True
+            if args.encoder_remat:
+                kw["encoder_remat"] = args.encoder_remat
         tcfg = TrainConfig(batch_size=B, **kw)
+        if args.fine_tune:
+            enc_opt = steps.make_optimizer(tcfg.encoder_lr, tcfg.grad_clip)
+            tagger_fn, ft_step = steps.make_caption_finetune_train_step(
+                cfg, tcfg, opt, enc_opt, donate=False)
+            ft_state = {**state, "enc_opt_state": enc_opt.init(
+                state["encoder"])}
         encode_fn, step = steps.make_caption_train_step(
             cfg, tcfg, opt, donate=False)
         batch = {"images": jax.device_put(rng.integers(
@@ -73,7 +93,13 @@ def main():
         key = jax.random.key(1)
         sub = {"params": state["params"], "opt_state": state["opt_state"]}
 
-        if args.cached:
+        if args.fine_tune:
+            def full_batch():
+                tags = tagger_fn(state, batch)
+                _, metrics = ft_step(ft_state, batch["images"], tags,
+                                     caps, caplens, key)
+                return float(jax.device_get(metrics["loss"]))
+        elif args.cached:
             # steady-state cached epoch: feature rows come from an
             # HBM-resident cache of N unique images (gathered by caption
             # index, cpi=5), never from the encoders
