@@ -165,7 +165,7 @@ def pick_span_plan(B: int, K: int, S: int, img_tile: int = 32, *, dims,
 
 def _make_kernel(*, names, G, K, S, Pp, P, E, A, D, Emb, F, H, Vp, V,
                  m, R, dt, end_id, cell="scn", L_emb=1, win_single=False,
-                 tiled_head=False):
+                 tiled_head=False, ablate=None):
     """Span kernel body.  names: ordered ref names matching the
     pallas_call layout in :func:`fused_decode_span`.
     cell: "scn" (factored semantic gates, order i,f,o,c — scn_cell.py) or
@@ -414,15 +414,21 @@ def _make_kernel(*, names, G, K, S, Pp, P, E, A, D, Emb, F, H, Vp, V,
                 work_scr[:] = lg - mrow
             logs = jnp.log(jnp.sum(jnp.exp(work_scr[:]), axis=1,
                                    keepdims=True))
-            tvs, tis = [], []
-            for _ in range(K):
-                v = jnp.max(work_scr[:], axis=1, keepdims=True)
-                a = jnp.argmax(work_scr[:], axis=1)[:, None]  # first occ
-                tvs.append(v)
-                tis.append(a)
-                work_scr[:] = jnp.where(cols_v == a, NEG, work_scr[:])
-            topv = jnp.concatenate(tvs, axis=1) - logs     # (R, K) logprobs
-            topi = jnp.concatenate(tis, axis=1)            # (R, K) i32
+            if ablate == "noextract":
+                # probe: the 5 max/argmax/mask extraction rounds replaced
+                # by slices (values wrong; exp_topk_floor's in-situ twin)
+                topv = work_scr[:, :K] - logs
+                topi = cols_v[:, :K]
+            else:
+                tvs, tis = [], []
+                for _ in range(K):
+                    v = jnp.max(work_scr[:], axis=1, keepdims=True)
+                    a = jnp.argmax(work_scr[:], axis=1)[:, None]  # 1st occ
+                    tvs.append(v)
+                    tis.append(a)
+                    work_scr[:] = jnp.where(cols_v == a, NEG, work_scr[:])
+                topv = jnp.concatenate(tvs, axis=1) - logs  # (R, K) logpr
+                topi = jnp.concatenate(tis, axis=1)         # (R, K) i32
 
             # ---- flat merge over K*K candidates per image (engine
             # candidate math: beam.py sparse-head branch) ----
@@ -430,46 +436,64 @@ def _make_kernel(*, names, G, K, S, Pp, P, E, A, D, Emb, F, H, Vp, V,
             cand = jnp.where(sc <= NEG, NEG, cand)
             cand_g = rows_to_gkk(cand)                     # (G, K*K)
             ids_g = rows_to_gkk(topi.astype(jnp.float32))
-            workg = cand_g
-            svs, sis, sws = [], [], []
-            for _ in range(K):
-                v = jnp.max(workg, axis=1, keepdims=True)
-                a = jnp.argmax(workg, axis=1)[:, None]
-                w = jnp.sum(jnp.where(kk == a, ids_g, 0.0), axis=1,
-                            keepdims=True)
-                svs.append(v)
-                sis.append(a)
-                sws.append(w)
-                workg = jnp.where(kk == a, NEG, workg)
-            top_vals = jnp.concatenate(svs, axis=1)        # (G, K) f32
-            flat_idx = jnp.concatenate(sis, axis=1)        # (G, K) i32
-            next_word = jnp.concatenate(sws, axis=1).astype(jnp.int32)
+            if ablate == "nomerge":
+                # probe: the K rounds of K*K flat-merge replaced by slices
+                top_vals = cand_g[:, :K]
+                flat_idx = kk[:, :K]
+                next_word = ids_g[:, :K].astype(jnp.int32)
+            else:
+                workg = cand_g
+                svs, sis, sws = [], [], []
+                for _ in range(K):
+                    v = jnp.max(workg, axis=1, keepdims=True)
+                    a = jnp.argmax(workg, axis=1)[:, None]
+                    w = jnp.sum(jnp.where(kk == a, ids_g, 0.0), axis=1,
+                                keepdims=True)
+                    svs.append(v)
+                    sis.append(a)
+                    sws.append(w)
+                    workg = jnp.where(kk == a, NEG, workg)
+                top_vals = jnp.concatenate(svs, axis=1)    # (G, K) f32
+                flat_idx = jnp.concatenate(sis, axis=1)    # (G, K) i32
+                next_word = jnp.concatenate(sws, axis=1).astype(jnp.int32)
             prev_lane = flat_idx // K
 
             # ---- records (replay rebuilds sequences/pools from these) ----
-            r["words"][:, s:s + 1, :] = next_word[:, None, :]
-            r["parents"][:, s:s + 1, :] = prev_lane[:, None, :]
-            r["vals"][:, s:s + 1, :] = top_vals[:, None, :]
+            if ablate != "norecords" or s == S - 1:
+                r["words"][:, s:s + 1, :] = next_word[:, None, :]
+                r["parents"][:, s:s + 1, :] = prev_lane[:, None, :]
+                r["vals"][:, s:s + 1, :] = top_vals[:, None, :]
 
             # ---- bookkeeping (mirrors beam._apply_selection; dead images
             # need no masking: their lanes' scores are already NEG, so
             # their candidates stay NEG and replay treats them as no-ops,
             # while `lane < alive` keeps retired lanes of LIVE images from
             # being counted again) ----
-            valid = (lane < alive) & (top_vals > NEG)
-            is_end = valid & (next_word == end_id)
-            cont = valid & ~is_end
-            alive = alive - jnp.sum(is_end.astype(jnp.int32), axis=1,
-                                    keepdims=True)
-            sc = gk_to_rows(jnp.where(cont, top_vals, NEG))
-            pw = gk_to_rows(next_word.astype(jnp.float32)).astype(jnp.int32)
+            if ablate == "nobook":
+                # probe: skip the retire/alive masks and the two one-hot
+                # (G,K)->(R,1) layout moves (sc/pw go stale)
+                pass
+            else:
+                valid = (lane < alive) & (top_vals > NEG)
+                is_end = valid & (next_word == end_id)
+                cont = valid & ~is_end
+                alive = alive - jnp.sum(is_end.astype(jnp.int32), axis=1,
+                                        keepdims=True)
+                sc = gk_to_rows(jnp.where(cont, top_vals, NEG))
+                pw = gk_to_rows(next_word.astype(jnp.float32)) \
+                    .astype(jnp.int32)
 
             # ---- (h, c) parent reorder: block-diag one-hot permutation ----
-            pl_r = gk_to_rows(prev_lane.astype(jnp.float32)).astype(jnp.int32)
-            tgt = (rows_r // K) * K + pl_r
-            perm = (colsR == tgt).astype(dt)
-            h = edot(perm, h_new).astype(dt)
-            c = edot(perm, c_new).astype(dt)
+            if ablate == "noreorder":
+                h = h_new
+                c = c_new
+            else:
+                pl_r = gk_to_rows(prev_lane.astype(jnp.float32)) \
+                    .astype(jnp.int32)
+                tgt = (rows_r // K) * K + pl_r
+                perm = (colsR == tgt).astype(dt)
+                h = edot(perm, h_new).astype(dt)
+                c = edot(perm, c_new).astype(dt)
 
         r["h_out"][:] = h
         r["c_out"][:] = c
@@ -483,12 +507,13 @@ def _make_kernel(*, names, G, K, S, Pp, P, E, A, D, Emb, F, H, Vp, V,
 @functools.partial(
     jax.jit, static_argnames=("span", "num_pixels", "end_id", "img_tile",
                               "group", "interpret", "vocab_size", "cell",
-                              "window_mode", "head_mode"))
+                              "window_mode", "head_mode", "ablate"))
 def fused_decode_span(weights, emb_tab, enc_p, enc_att_p, semx, semh,
                       h, c, sc, pw, alive, *, span: int, num_pixels: int,
                       end_id: int, img_tile: int = 32, group: int = 4,
                       interpret=None, vocab_size=None, cell: str = "scn",
-                      window_mode: str = "auto", head_mode: str = "auto"):
+                      window_mode: str = "auto", head_mode: str = "auto",
+                      ablate=None):
     """Run ``span`` consecutive beam steps over (B, K) lanes.
 
     weights: dict from ops/step_pallas.pack_step_weights (attention_scn
@@ -597,6 +622,7 @@ def fused_decode_span(weights, emb_tab, enc_p, enc_att_p, semx, semh,
                            pltpu.VMEM((G, Pp, A), dt),
                            pltpu.SemaphoreType.DMA((2,))]
     kernel = _make_kernel(
+        ablate=ablate,
         names=tuple(in_names + out_names + scratch_names),
         G=G, K=K, S=S, Pp=Pp, P=num_pixels, E=E, A=A, D=D, Emb=Emb,
         F=F, H=H, Vp=Vp, V=V, m=m, R=R, dt=dt, end_id=end_id, cell=cell,

@@ -35,6 +35,9 @@ def main():
     ap.add_argument("--vocab", type=int, default=6763,
                     help="38732 = the reference COCO-ID vocab "
                          "(corpus_score.py:110-118)")
+    ap.add_argument("--scan-impl", default=None,
+                    help="ModelConfig.train_scan_impl override "
+                         "(xla = disable the fused kernel pair)")
     args = ap.parse_args()
 
     from indonesian_image_captioning_tpu.core import runtime
@@ -52,7 +55,9 @@ def main():
 
     V = args.vocab
     B = args.batch
-    cfg = ModelConfig(model_type="attention_scn", vocab_size=V)
+    cfg = ModelConfig(model_type="attention_scn", vocab_size=V,
+                      **({"train_scan_impl": args.scan_impl}
+                         if args.scan_impl else {}))
     opt = steps.make_optimizer(4e-4, 5.0)
     state = jax.device_put(ct.init_state(root_key(0), cfg, opt))
     tcfg = TrainConfig(batch_size=B, decoder_dtype=args.decoder_dtype)
