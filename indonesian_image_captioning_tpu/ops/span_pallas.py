@@ -415,10 +415,12 @@ def _make_kernel(*, names, G, K, S, Pp, P, E, A, D, Emb, F, H, Vp, V,
             logs = jnp.log(jnp.sum(jnp.exp(work_scr[:]), axis=1,
                                    keepdims=True))
             if ablate == "noextract":
-                # probe: the 5 max/argmax/mask extraction rounds replaced
-                # by slices (values wrong; exp_topk_floor's in-situ twin)
-                topv = work_scr[:, :K] - logs
-                topi = cols_v[:, :K]
+                # probe: ONE max round instead of the 5 max/argmax/mask
+                # rounds (values wrong; exp_topk_floor's in-situ twin)
+                topv = jnp.broadcast_to(
+                    jnp.max(work_scr[:], axis=1, keepdims=True),
+                    (R, K)) - logs
+                topi = jax.lax.broadcasted_iota(jnp.int32, (R, K), 1)
             else:
                 tvs, tis = [], []
                 for _ in range(K):
@@ -437,10 +439,13 @@ def _make_kernel(*, names, G, K, S, Pp, P, E, A, D, Emb, F, H, Vp, V,
             cand_g = rows_to_gkk(cand)                     # (G, K*K)
             ids_g = rows_to_gkk(topi.astype(jnp.float32))
             if ablate == "nomerge":
-                # probe: the K rounds of K*K flat-merge replaced by slices
-                top_vals = cand_g[:, :K]
-                flat_idx = kk[:, :K]
-                next_word = ids_g[:, :K].astype(jnp.int32)
+                # probe: one max round instead of the K-round K*K merge
+                top_vals = jnp.broadcast_to(
+                    jnp.max(cand_g, axis=1, keepdims=True), (G, K))
+                flat_idx = jax.lax.broadcasted_iota(jnp.int32, (G, K), 1)
+                next_word = jnp.broadcast_to(
+                    jnp.max(ids_g, axis=1, keepdims=True),
+                    (G, K)).astype(jnp.int32)
             else:
                 workg = cand_g
                 svs, sis, sws = [], [], []

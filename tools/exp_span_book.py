@@ -116,12 +116,13 @@ def main():
     base = ms.get(None)
     print(f"B={B} K={K} V={V} {args.dtype} S={S}: full 52-step decode "
           f"via {n_spans} span calls")
-    if base:
-        print(f"  full     : {base:7.1f} ms ({B / base * 1e3:.0f} c/s)")
-    for abl in probes[1:]:
-        if ms.get(abl) and base:
-            print(f"  {abl:9s}: {ms[abl]:7.1f} ms "
-                  f"(component ~{base - ms[abl]:+6.1f} ms)")
+    for abl in probes:
+        if not ms.get(abl):
+            continue
+        extra = (f" (component ~{base - ms[abl]:+6.1f} ms)"
+                 if base and abl is not None else "")
+        print(f"  {str(abl):9s}: {ms[abl]:7.1f} ms "
+              f"({B / ms[abl] * 1e3:.0f} c/s){extra}")
 
 
 if __name__ == "__main__":
