@@ -29,6 +29,31 @@ REFERENCE_CPU_CAPTIONS_PER_SEC = 0.0622  # measured, see BASELINE.md
 V5E_PEAK_BF16_FLOPS = 197e12             # TPU v5e peak bf16 FLOP/s
 
 
+def _median_rounds(round_fn, rounds: int = 5):
+    """Time ``round_fn`` (which must sync the device) ``rounds`` times and
+    return (median, min, max) seconds.  VERDICT r4 #6: single-window means
+    cannot separate real changes from the rig's documented machine-window
+    drift; the median plus the reported spread lets a BENCH_r0N reader tell
+    a ±5%% code change from noise."""
+    times = []
+    for _ in range(rounds):
+        t0 = time.time()
+        round_fn()
+        times.append(time.time() - t0)
+    ts = sorted(times)
+    return ts[len(ts) // 2], ts[0], ts[-1]
+
+
+def _spread_fields(med, lo, hi, per: float = 1.0):
+    """Schema-additive spread keys; ``per`` divides to a per-item time."""
+    return {
+        "t_median_ms": round(med / per * 1e3, 2),
+        "t_min_ms": round(lo / per * 1e3, 2),
+        "t_max_ms": round(hi / per * 1e3, 2),
+        "spread_pct": round((hi - lo) / med * 100.0, 1),
+    }
+
+
 def _compiled_flops(jitted, *args):
     """XLA's own FLOP count for a compiled program (None if unavailable)."""
     try:
@@ -111,11 +136,13 @@ def e2e_main(batch: int = 64):
         return decode(state, enc_out, tags)[1]
 
     jax.device_get(serve_async(images))  # compile + warm
-    n_iter = 6
-    t0 = time.time()
-    pending = [serve_async(images) for _ in range(n_iter)]
-    jax.device_get(pending)              # one sync for the whole stream
-    dt = (time.time() - t0) / n_iter
+    per_round = 2
+
+    def round_fn():
+        pending = [serve_async(images) for _ in range(per_round)]
+        jax.device_get(pending)          # one sync for the round's stream
+    med, lo, hi = _median_rounds(round_fn, rounds=5)
+    dt = med / per_round
     imgs_per_s = B / dt
 
     # encoder-only throughput + MFU (sync on a SCALAR probe — pulling the
@@ -147,6 +174,7 @@ def e2e_main(batch: int = 64):
             analytic_flops_per_img / 1e9, 1),
         "encoder_mfu": round(enc_mfu, 4),
         "batch": B,
+        **_spread_fields(med, lo, hi, per=per_round),
     }))
 
 
@@ -260,12 +288,17 @@ def train_main(batch: int = 1024, decoder_dtype: str = "bfloat16"):
     # axon relay inflates the measurement; see BASELINE.md)
     loss = float(jax.device_get(dispatch()))
     assert np.isfinite(loss)
-    n_iter = 5
-    t0 = time.time()
-    for _ in range(n_iter):
-        out = dispatch()
-    float(jax.device_get(out))  # one sync; in-order execution covers all
-    dt = (time.time() - t0) / n_iter
+
+    steps_per_round = 3
+
+    def round_fn():
+        # async dispatch of the round's steps, one scalar sync at the end
+        for _ in range(steps_per_round):
+            out = dispatch()
+        float(jax.device_get(out))
+
+    med, lo, hi = _median_rounds(round_fn, rounds=5)
+    dt = med / steps_per_round
     imgs_per_s = B / dt
     print(json.dumps({
         "metric": "train_images_per_sec_cached",
@@ -273,6 +306,7 @@ def train_main(batch: int = 1024, decoder_dtype: str = "bfloat16"):
         "step_ms": round(dt * 1e3, 1), "batch": B,
         "decoder_dtype": decoder_dtype,
         "vs_baseline": round(imgs_per_s / 2.004, 1),
+        **_spread_fields(med, lo, hi, per=steps_per_round),
     }))
 
 
@@ -313,18 +347,15 @@ def main(batch: int = 1024, model: str = "attention_scn"):
     assert int(lens[0]) == beam_cfg.max_steps + 1, (
         "expected full-length decode with random weights")
 
-    n_iter = 3
-    t0 = time.time()
-    for _ in range(n_iter):
-        run()
-    dt = (time.time() - t0) / n_iter
-    cps = B / dt
+    med, lo, hi = _median_rounds(run, rounds=5)  # run() syncs via device_get
+    cps = B / med
 
     line = {
         "metric": "captions_per_sec_beam5",
         "value": round(cps, 3),
         "unit": "captions/s",
         "vs_baseline": round(cps / REFERENCE_CPU_CAPTIONS_PER_SEC, 1),
+        **_spread_fields(med, lo, hi),
     }
     if model != "attention_scn":
         line["model"] = model      # family benches (driver reads the default)

@@ -178,6 +178,11 @@ def _make_kernel(*, names, G, K, S, Pp, P, E, A, D, Emb, F, H, Vp, V,
     head — an earlier online-merge variant accumulated log-sum-exp per
     tile, whose per-lane reduction-order ULPs are a gratuitous extra
     divergence source between engines under bf16 near-ties."""
+    if ablate not in (None, "noextract", "nomerge", "norecords", "nobook",
+                      "noreorder"):
+        # a typoed probe token must not silently measure the un-ablated
+        # kernel and report it as an ablation result
+        raise ValueError(f"unknown span ablate token {ablate!r}")
 
     def dot(a, b):
         return jax.lax.dot_general(a, b, (((1,), (0,)), ((), ())),

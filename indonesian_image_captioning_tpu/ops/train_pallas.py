@@ -242,6 +242,13 @@ def _make_fwd_kernel(*, names, G, S, Pp, P, E, A, D, F, H, F4, dt,
                   "notrans", "nostore"}
     else:
         ablate = {ablate} if ablate else set()
+    # A typoed probe token must fail loudly, not silently measure the
+    # UN-ablated kernel and report it as an ablation result.
+    known = {"noawe", "noe", "nogates", "nohproj", "noxin", "notrans",
+             "nostore"}
+    if ablate - known:
+        raise ValueError(f"unknown fwd ablate token(s) {ablate - known}; "
+                         f"known: {sorted(known)} + skeleton/skelmin")
 
     if "notrans" in ablate:
         # probe: transcendental cost — clamped affine stand-ins
@@ -382,6 +389,8 @@ def _make_fwd_kernel(*, names, G, S, Pp, P, E, A, D, F, H, F4, dt,
 
 def _make_bwd_kernel(*, names, G, S, n_spans, Pp, P, E, A, D, F, H,
                      F4, dt, ablate=None, cell="scn"):
+    if ablate not in (None, "noatt", "nodalpha", "node", "nodea", "nowf"):
+        raise ValueError(f"unknown bwd ablate token {ablate!r}")
     f32 = jnp.float32
 
     def sigf(x):
