@@ -334,6 +334,22 @@ class TrainConfig:
     # off-thread.  Identical bytes on disk; the trainer joins before
     # returning.  False = the reference's blocking save semantics.
     async_checkpoint: bool = True
+    # Vocab-head implementation for the caption train/eval steps:
+    #   "dense"   — materialise (B, T, V) logits, f32 log_softmax + the
+    #               sort-free topk_hit (the reference-shaped path; exact
+    #               parity numerics).
+    #   "chunked" — the fused CE head (ops/vocab_head.py): fc streams in
+    #               vocab tiles through an online logsumexp under
+    #               custom_vjp; the logit tensor never exists.  Removes
+    #               the 4.1 GB COCO-vocab OOM at b1024 and most of the
+    #               head's HBM traffic; CE/grads match dense to float
+    #               reassociation (tests/test_vocab_head.py).
+    #   "auto"    — "chunked" on TPU when the logit tensor would be big
+    #               enough to matter (B*T*V >= 2^27 elements), else
+    #               "dense" (train/steps.resolve_head_impl).
+    head_impl: str = "auto"
+    # Vocab-tile width for the chunked head.
+    head_tile: int = 2048
     # Calibrate the FROZEN caption encoder's BatchNorm running stats with
     # this many train-mode EMA passes over training batches before epoch 0.
     # Needed when the encoder is NOT pretrained: at random init the running

@@ -65,11 +65,36 @@ def _embed_lookup_fwd(table, ids):
 def _embed_lookup_bwd(res, g):
     ids, proto = res
     gf = g.reshape(-1, g.shape[-1])
-    oh = jax.nn.one_hot(ids.reshape(-1), proto.shape[0], dtype=gf.dtype)
-    dtable = jax.lax.dot_general(
-        oh, gf, (((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)
-    return dtable.astype(proto.dtype), None
+    V = proto.shape[0]
+    N = gf.shape[0]
+    ids_flat = ids.reshape(-1)
+    if N * V <= (1 << 27):
+        oh = jax.nn.one_hot(ids_flat, V, dtype=gf.dtype)
+        dtable = jax.lax.dot_general(
+            oh, gf, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        return dtable.astype(proto.dtype), None
+    # Large-vocab: the full (N, V) one-hot is multi-GB (4 GB bf16 at COCO
+    # V=38,732, b1024) — build it in vocab tiles instead, mirroring the
+    # chunked CE head (ops/vocab_head.py).  Each table tile is produced by
+    # exactly one MXU contraction, so there is no f32 accumulator and the
+    # result is bitwise the single-shot contraction per row block.
+    tile = 2048
+    nt = -(-V // tile)
+    D = gf.shape[-1]
+
+    def body(i, dtab):
+        col = i * tile + jax.lax.iota(jnp.int32, tile)
+        oh = (ids_flat[:, None] == col[None, :]).astype(gf.dtype)
+        dt_t = jax.lax.dot_general(
+            oh, gf, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        return jax.lax.dynamic_update_slice(
+            dtab, dt_t.astype(proto.dtype), (i * tile, 0))
+
+    dtab = jnp.zeros((nt * tile, D), proto.dtype)
+    dtab = jax.lax.fori_loop(0, nt, body, dtab)
+    return dtab[:V], None
 
 
 embed_lookup.defvjp(_embed_lookup_fwd, _embed_lookup_bwd)
@@ -164,7 +189,7 @@ def resolve_train_scan_impl(cfg: ModelConfig, batch: int, dtype,
 def teacher_forcing(params, cfg: ModelConfig, enc, tags, caps,
                     caplens, *, dropout_rng: Optional[jax.Array] = None,
                     train: bool = False, enc_grad: bool = False,
-                    spmd_mesh=None):
+                    spmd_mesh=None, return_hidden: bool = False):
     """Teacher-forced forward over the whole caption batch.
 
     enc:     (B, H, W, E) or (B, P, E) encoder output
@@ -176,6 +201,11 @@ def teacher_forcing(params, cfg: ModelConfig, enc, tags, caps,
       predictions: (B, T, V) logits, T = L - 1
       alphas:      (B, T, P) attention weights (attention models) or None
       mask:        (B, T) float validity mask (t < caplen - 1)
+
+    return_hidden=True: skip the dense vocab head and return
+    {"hidden": (B, T, D) post-dropout hidden states, ...} instead of
+    predictions — the input contract of the chunked CE head
+    (ops/vocab_head.py), which never materialises the (B, T, V) logits.
 
     Equivalent to reference AttentionSCN.forward (attention_scn.py:95-158)
     with masking replacing the length-sort + shrinking batch; outputs are in
@@ -217,7 +247,7 @@ def teacher_forcing(params, cfg: ModelConfig, enc, tags, caps,
                 out_specs=(P(DATA_AXIS), P(DATA_AXIS)), **{flag: False})
         h_all, alphas = run_fused(params, enc_flat, tags, emb)
         return _head_and_mask(params, cfg, h_all, alphas, ts, caplens,
-                              dropout_rng, train)
+                              dropout_rng, train, return_hidden)
 
     h, c = init_hidden_state(params, enc_flat)
 
@@ -268,11 +298,11 @@ def teacher_forcing(params, cfg: ModelConfig, enc, tags, caps,
     h_all = jnp.swapaxes(outs[0], 0, 1)                 # (B, T, D)
     alphas = jnp.swapaxes(outs[1], 0, 1) if cfg.uses_attention else None
     return _head_and_mask(params, cfg, h_all, alphas, ts, caplens,
-                          dropout_rng, train)
+                          dropout_rng, train, return_hidden)
 
 
 def _head_and_mask(params, cfg: ModelConfig, h_all, alphas, ts, caplens,
-                   dropout_rng, train: bool):
+                   dropout_rng, train: bool, return_hidden: bool = False):
     # The vocab head runs OUTSIDE the scan on the stacked hidden states:
     # one (B*T, D) x (D, V) MXU matmul instead of T row-blocks, which is
     # also what lets the fused training-scan kernel (ops/train_pallas)
@@ -281,11 +311,15 @@ def _head_and_mask(params, cfg: ModelConfig, h_all, alphas, ts, caplens,
     if dropout_rng is None:
         dropout_rng = jax.random.key(0)
     h_drop = dropout(dropout_rng, h_all, drop, deterministic=not train)
-    predictions = linear(params["fc"], h_drop)          # (B, T, V)
 
     # decode_lengths = caplens - 1 (attention_scn.py:131); mask[t] = t < len-1
-    mask = (ts[None, :] < (caplens[:, None] - 1)).astype(predictions.dtype)
-    return {"predictions": predictions, "alphas": alphas, "mask": mask}
+    mask = ts[None, :] < (caplens[:, None] - 1)
+    if return_hidden:
+        return {"hidden": h_drop, "alphas": alphas,
+                "mask": mask.astype(jnp.float32)}
+    predictions = linear(params["fc"], h_drop)          # (B, T, V)
+    return {"predictions": predictions, "alphas": alphas,
+            "mask": mask.astype(predictions.dtype)}
 
 
 def make_beam_step(params, cfg: ModelConfig, enc, tags, *,

@@ -65,6 +65,28 @@ def caption_loss(outputs, caps, alpha_c: float = 0.0):
     }
 
 
+def caption_loss_chunked(fc, outputs, caps, alpha_c: float = 0.0,
+                         k: int = 5, tile: int = 2048):
+    """Caption loss + top-k from a teacher_forcing(return_hidden=True)
+    output dict, via the chunked vocab head (ops/vocab_head.py) — the
+    (B, T, V) logit tensor is never materialised.  Same semantics as
+    caption_loss + masked_topk_accuracy; returns (loss, aux) with
+    aux = dict(ce, alpha_penalty, n_tokens, topk)."""
+    from .vocab_head import chunked_ce_topk
+    hidden = outputs["hidden"]
+    mask = outputs["mask"]
+    targets = caps[:, 1:1 + hidden.shape[1]]
+    ce, topk, n_tokens = chunked_ce_topk(
+        fc, hidden, targets, mask, k=k, tile=tile)
+    pen = doubly_stochastic_penalty(outputs["alphas"], mask, alpha_c)
+    return ce + pen, {
+        "ce": ce,
+        "alpha_penalty": pen,
+        "n_tokens": n_tokens,
+        "topk": topk,
+    }
+
+
 def bce_loss(probs, targets, eps: float = 1e-7, row_valid=None):
     """Binary cross-entropy on probabilities (tagger outputs sigmoid scores,
     reference trains/tagger.py uses nn.BCELoss with mean reduction).

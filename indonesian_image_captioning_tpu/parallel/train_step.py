@@ -36,13 +36,17 @@ def make_parallel_caption_train_step(cfg: ModelConfig, tcfg: TrainConfig,
     with DP batch sharding and optional TP vocab sharding."""
     import dataclasses
 
+    tp_mesh = None
     if shard_vocab:
         # The fused training-scan kernel pair (ops/train_pallas.py) has
         # no GSPMD partitioning rules, and under TP the embedding table
         # is vocab-sharded — the decoder keeps the XLA scan, which the
-        # partitioner handles.
+        # partitioner handles.  The chunked CE head runs vocab-parallel
+        # through its own shard_map island (steps.make_chunked_head_island)
+        # when the step resolves head_impl="chunked".
         cfg = dataclasses.replace(cfg, train_scan_impl="xla")
         spmd_mesh = None
+        tp_mesh = mesh
     else:
         # Pure DP: the fused kernel runs PER SHARD through a shard_map
         # island inside the partitioned step (models/decoders.py
@@ -52,7 +56,8 @@ def make_parallel_caption_train_step(cfg: ModelConfig, tcfg: TrainConfig,
         spmd_mesh = mesh
     _, base = steps_lib.make_caption_train_step(cfg, tcfg, optimizer,
                                                 donate=False,
-                                                spmd_mesh=spmd_mesh)
+                                                spmd_mesh=spmd_mesh,
+                                                tp_mesh=tp_mesh)
     substate_sh = _substate_sharding(mesh, substate_template, shard_vocab)
     # P(DATA_AXIS) shards the leading (batch) dim regardless of rank
     data = lambda _ndim: NamedSharding(mesh, P(DATA_AXIS))

@@ -76,6 +76,21 @@ def prep_images(images_u8_chw):
 # Caption models
 # ---------------------------------------------------------------------------
 
+def resolve_head_impl(tcfg: TrainConfig, cfg: ModelConfig,
+                      batch: int) -> str:
+    """Resolve tcfg.head_impl ("auto" -> "chunked" on TPU when the dense
+    (B, T, V) logit tensor would be >= 2^27 elements — flagship b1024 and
+    any COCO-vocab batch — else "dense", the exact-parity path).  Called
+    at trace time, so the policy sees the real batch."""
+    impl = getattr(tcfg, "head_impl", "auto")
+    if impl != "auto":
+        return impl
+    if jax.default_backend() == "cpu":
+        return "dense"
+    n_logits = batch * (cfg.max_caption_len - 1) * cfg.vocab_size
+    return "chunked" if n_logits >= (1 << 27) else "dense"
+
+
 def make_encoders_fn(cfg: ModelConfig, compute_dtype: str = "float32"):
     """Frozen encoder/tagger forwards as SEPARATE jitted programs.
 
@@ -123,9 +138,86 @@ def make_encoders_fn(cfg: ModelConfig, compute_dtype: str = "float32"):
     return encode
 
 
+def make_chunked_head_island(tp_mesh, tile: int, k: int = 5):
+    """shard_map island running the chunked CE head vocab-parallel over
+    the mesh "model" axis (Megatron-style vocab-parallel cross entropy):
+    each shard scans its LOCAL fc columns with its global column offset;
+    the (max, scaled-sum, target-logit, rank-count) partials merge with
+    pmax/psum inside ops/vocab_head, and the d_hidden cotangent psums
+    over "model" in the custom_vjp backward.  The sharded (B, T, V/m)
+    logits never exist — this is what turns sharding.py's "the sharded
+    loss divides the logits" from an inference into a computation.
+
+    Returns island(fc, hidden, targets, maskf) -> (ce, topk_pct,
+    n_tokens) as GLOBAL (replicated) scalars — the data-axis reduction
+    happens here too, so callers treat it exactly like
+    losses.caption_loss_chunked."""
+    from jax.sharding import PartitionSpec as P
+
+    from ..core.meshes import DATA_AXIS, MODEL_AXIS, get_shard_map
+    from ..ops import vocab_head
+
+    shard_map, flag = get_shard_map()
+
+    # custom_vjp sits ABOVE the shard_maps: the forward and backward are
+    # each their own explicitly-spec'd island with EXPLICIT collective
+    # reductions (vocab_head.nll_bwd_block), so no shard_map transpose
+    # ever runs.  (With replication checking off — required because the
+    # fori_loop carries carry no vma annotations — shard_map's automatic
+    # transpose of the data-replicated fc input returned exactly x1/model
+    # of the true d_fc; tests/test_vocab_head.py pins the parity.)
+    def fwd_block(w, bb, h2, tgt):
+        col0 = jax.lax.axis_index(MODEL_AXIS) * w.shape[1]
+        return vocab_head.nll_topk_fwd_block(
+            w, bb, h2, tgt, col0, k=k, tile=tile, shard_axis=MODEL_AXIS)
+
+    def bwd_block(w, bb, h2, tgt, lse, coeff):
+        col0 = jax.lax.axis_index(MODEL_AXIS) * w.shape[1]
+        return vocab_head.nll_bwd_block(
+            w, bb, h2, tgt, lse, coeff, col0, tile=tile,
+            shard_axis=MODEL_AXIS, batch_axis=DATA_AXIS)
+
+    w_sp, b_sp, n_sp = P(None, MODEL_AXIS), P(MODEL_AXIS), P(DATA_AXIS)
+    fwd_sm = shard_map(fwd_block, mesh=tp_mesh,
+                       in_specs=(w_sp, b_sp, n_sp, n_sp),
+                       out_specs=(n_sp, n_sp, n_sp), **{flag: False})
+    bwd_sm = shard_map(bwd_block, mesh=tp_mesh,
+                       in_specs=(w_sp, b_sp, n_sp, n_sp, n_sp, n_sp),
+                       out_specs=(w_sp, b_sp, n_sp), **{flag: False})
+
+    @jax.custom_vjp
+    def island_nll(w, bb, h2, tgt):
+        return fwd_sm(w, bb, h2, tgt)[:2]
+
+    def island_fwd(w, bb, h2, tgt):
+        nll, hit, lse = fwd_sm(w, bb, h2, tgt)
+        return (nll, hit), (w, bb, h2, tgt, lse)
+
+    def island_bwd(res, cts):
+        w, bb, h2, tgt, lse = res
+        d_w, d_b, d_h = bwd_sm(w, bb, h2, tgt, lse, cts[0])
+        return d_w, d_b, d_h, None
+
+    island_nll.defvjp(island_fwd, island_bwd)
+
+    def island(fc, hidden, targets, mask):
+        B, T, D = hidden.shape
+        h2 = hidden.reshape(B * T, D)
+        tgt = targets.reshape(-1).astype(jnp.int32)
+        nll, hit = island_nll(fc["w"], fc["b"], h2, tgt)
+        maskf = mask.reshape(-1).astype(jnp.float32)
+        denom = jnp.maximum(maskf.sum(), 1.0)
+        ce = (nll * maskf).sum() / denom
+        topk = (hit * maskf).sum() / denom * 100.0
+        return ce, topk, maskf.sum()
+
+    return island
+
+
 def make_caption_train_step(cfg: ModelConfig, tcfg: TrainConfig,
                             optimizer: optax.GradientTransformation,
-                            donate: bool = True, spmd_mesh=None):
+                            donate: bool = True, spmd_mesh=None,
+                            tp_mesh=None):
     """Returns (encode_fn, step) where step is the jitted decoder update:
 
         step({"params", "opt_state"}, enc_out, tags, captions, caplens, rng)
@@ -141,29 +233,55 @@ def make_caption_train_step(cfg: ModelConfig, tcfg: TrainConfig,
     encode_fn = make_encoders_fn(cfg, tcfg.encoder_dtype)
     mixed = jnp.dtype(tcfg.decoder_dtype) != jnp.float32
     cdt = jnp.dtype(tcfg.decoder_dtype)
+    from ..core.meshes import MODEL_AXIS
+    tp_model = tp_mesh.shape[MODEL_AXIS] if tp_mesh is not None else 1
+    use_island = (tp_model > 1 and cfg.vocab_size % tp_model == 0)
+    head_island = (make_chunked_head_island(
+        tp_mesh, getattr(tcfg, "head_tile", 2048)) if use_island else None)
 
     def step(substate, enc_out, tags, captions, caplens, rng):
+        head = resolve_head_impl(tcfg, cfg, enc_out.shape[0])
+        hidden = head == "chunked"
+
         def loss_fn(params):
             if mixed:
                 # bf16 compute, f32 master weights: cast inside the loss
                 # so grads return f32 for the clamp/Adam chain; losses
-                # compute in f32 on the cast-back predictions.
+                # compute in f32 on the cast-back predictions (dense) /
+                # inside the chunked head's f32 accumulators.
                 p = jax.tree.map(
                     lambda x: x.astype(cdt)
                     if jnp.issubdtype(x.dtype, jnp.floating) else x, params)
                 out = decoders.teacher_forcing(
                     p, cfg, enc_out.astype(cdt), tags.astype(cdt),
                     captions, caplens, dropout_rng=rng, train=True,
-                    spmd_mesh=spmd_mesh)
+                    spmd_mesh=spmd_mesh, return_hidden=hidden)
                 out = {**out,
-                       "predictions": out["predictions"].astype(jnp.float32),
                        "alphas": (out["alphas"].astype(jnp.float32)
                                   if out.get("alphas") is not None
                                   else out.get("alphas"))}
+                if not hidden:
+                    out["predictions"] = \
+                        out["predictions"].astype(jnp.float32)
             else:
+                p = params
                 out = decoders.teacher_forcing(
                     params, cfg, enc_out, tags, captions, caplens,
-                    dropout_rng=rng, train=True, spmd_mesh=spmd_mesh)
+                    dropout_rng=rng, train=True, spmd_mesh=spmd_mesh,
+                    return_hidden=hidden)
+            if hidden:
+                if head_island is not None:
+                    targets = captions[:, 1:1 + out["hidden"].shape[1]]
+                    ce, topk, n_tokens = head_island(
+                        p["fc"], out["hidden"], targets, out["mask"])
+                    pen = losses.doubly_stochastic_penalty(
+                        out["alphas"], out["mask"], tcfg.alpha_c)
+                    return ce + pen, {"ce": ce, "alpha_penalty": pen,
+                                      "n_tokens": n_tokens, "top5": topk}
+                loss, aux = losses.caption_loss_chunked(
+                    p["fc"], out, captions, tcfg.alpha_c, k=5,
+                    tile=getattr(tcfg, "head_tile", 2048))
+                return loss, {**aux, "top5": aux["topk"]}
             loss, aux = losses.caption_loss(out, captions, tcfg.alpha_c)
             top5 = losses.masked_topk_accuracy(
                 out["predictions"], captions[:, 1:], out["mask"], 5)
@@ -190,6 +308,20 @@ def make_caption_eval_step(cfg: ModelConfig, tcfg: TrainConfig):
 
     @jax.jit
     def step(params, enc_out, tags, captions, caplens):
+        head = resolve_head_impl(tcfg, cfg, enc_out.shape[0])
+        if head == "chunked":
+            from ..ops.vocab_head import chunked_eval_head
+            out = decoders.teacher_forcing(
+                params, cfg, enc_out, tags, captions, caplens, train=False,
+                return_hidden=True)
+            targets = captions[:, 1:1 + out["hidden"].shape[1]]
+            ce, top5, n_tokens, preds = chunked_eval_head(
+                params["fc"], out["hidden"], targets, out["mask"], k=5,
+                tile=getattr(tcfg, "head_tile", 2048))
+            pen = losses.doubly_stochastic_penalty(
+                out["alphas"], out["mask"], tcfg.alpha_c)
+            return {"loss": ce + pen, "top5": top5, "n_tokens": n_tokens,
+                    "preds": preds, "mask": out["mask"]}
         out = decoders.teacher_forcing(
             params, cfg, enc_out, tags, captions, caplens, train=False)
         loss, aux = losses.caption_loss(out, captions, tcfg.alpha_c)

@@ -296,3 +296,85 @@ def test_cli_caption_finetune_on_mesh(corpus, tmp_path):
     ])
     assert np.isfinite(summary["train_loss"])
     assert "enc_opt_state" in state
+
+
+def test_tp_coco_vocab_sharded_train_step():
+    """TP at the REAL COCO-ID vocab (V=38,732, reference
+    corpus_score.py:110-118) on the 8-device CPU mesh (VERDICT r4 #3):
+    builds the vocab-sharded train step on mesh (4,2), asserts the
+    fc/embedding/Adam-moment shards are actually V/m per device, runs a
+    step through the vocab-parallel chunked CE island
+    (steps.make_chunked_head_island — the sharded logits never exist),
+    and matches the single-device dense-head step's loss and metrics."""
+    import jax
+
+    from indonesian_image_captioning_tpu.core.config import (
+        ModelConfig, TrainConfig)
+    from indonesian_image_captioning_tpu.core.meshes import make_mesh
+    from indonesian_image_captioning_tpu.models import decoders
+    from indonesian_image_captioning_tpu.parallel import sharding as sh
+    from indonesian_image_captioning_tpu.parallel.train_step import (
+        make_parallel_caption_train_step)
+    from indonesian_image_captioning_tpu.train import steps
+
+    V = 38_732
+    B = 8
+    cfg = ModelConfig(model_type="attention_scn", vocab_size=V,
+                      embed_dim=16, attention_dim=16, decoder_dim=16,
+                      factored_dim=12, semantic_dim=10, encoder_dim=24,
+                      max_caption_len=12, dropout=0.0)
+    rng = np.random.default_rng(11)
+    enc = np.asarray(rng.standard_normal((B, 9, cfg.encoder_dim)),
+                     np.float32) * 0.3
+    tags = rng.random((B, cfg.semantic_dim)).astype(np.float32)
+    caps = rng.integers(1, V, (B, cfg.max_caption_len)).astype(np.int32)
+    caplens = rng.integers(3, 13, (B,)).astype(np.int32)
+    key = jax.random.key(5)
+    params = jax.tree.map(np.asarray,
+                          decoders.init_decoder(jax.random.key(0), cfg))
+
+    # --- single-device reference step (dense head) ---
+    tcfg_d = TrainConfig(batch_size=B, head_impl="dense")
+    opt = steps.make_optimizer(4e-4, 5.0)
+    _, step1 = steps.make_caption_train_step(cfg, tcfg_d, opt, donate=False)
+    sub1 = {"params": params, "opt_state": opt.init(params)}
+    s1, m1 = step1(sub1, enc, tags, caps, caplens, key)
+
+    # --- (4,2) mesh, vocab-sharded TP, chunked vocab-parallel head ---
+    tcfg = TrainConfig(batch_size=B, mesh_shape=(4, 2),
+                       head_impl="chunked", head_tile=2048)
+    mesh = make_mesh((4, 2))
+    sub = {"params": params, "opt_state": opt.init(params)}
+    placed = sh.place_state(mesh, sub, shard_vocab=True)
+
+    half = V // 2
+    fc_shard = placed["params"]["fc"]["w"].addressable_shards[0].data.shape
+    emb_shard = placed["params"]["embedding"].addressable_shards[0].data.shape
+    assert fc_shard == (cfg.decoder_dim, half), fc_shard
+    assert emb_shard == (half, cfg.embed_dim), emb_shard
+    # Adam moments mirror the param sharding
+    mus = [s.inner_state[0].mu for s in placed["opt_state"]
+           if hasattr(s, "inner_state")]
+    assert mus and mus[0]["fc"]["w"].addressable_shards[0].data.shape == \
+        (cfg.decoder_dim, half)
+
+    stepm = make_parallel_caption_train_step(cfg, tcfg, opt, mesh, sub,
+                                             shard_vocab=True)
+    sm, mm = stepm(placed, enc, tags, caps, caplens, key)
+
+    assert np.isfinite(float(mm["loss"]))
+    assert abs(float(m1["loss"]) - float(mm["loss"])) < 1e-4, (
+        float(m1["loss"]), float(mm["loss"]))
+    assert abs(float(m1["top5"]) - float(mm["top5"])) < 1e-3
+    assert abs(float(m1["n_tokens"]) - float(mm["n_tokens"])) < 0.5
+
+    # updated fc stays vocab-sharded and matches the single-device update
+    new_fc = sm["params"]["fc"]["w"]
+    assert new_fc.addressable_shards[0].data.shape == \
+        (cfg.decoder_dim, half)
+    np.testing.assert_allclose(np.asarray(new_fc),
+                               np.asarray(s1["params"]["fc"]["w"]),
+                               rtol=2e-4, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(sm["params"]["embedding"]),
+                               np.asarray(s1["params"]["embedding"]),
+                               rtol=2e-4, atol=2e-5)

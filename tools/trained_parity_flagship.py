@@ -105,6 +105,38 @@ def reference_side():
     return AttentionSCN
 
 
+def reference_decoder(model: str, V: int):
+    """Construct the ACTUAL reference torch decoder for a family at
+    flagship dims (loader defaults, /root/reference/utils/loader.py:12-17).
+    Returns (module, sample_fn(beam, wm, enc_t, tags_t) -> seq list)."""
+    import torch
+    reference_side()                      # sys.path + truediv patch
+    if model == "attention_scn":
+        from models.decoders.attention_scn import AttentionSCN
+        ref = AttentionSCN(attention_dim=512, embed_dim=512,
+                           decoder_dim=512, factored_dim=512,
+                           semantic_dim=1000, vocab_size=V,
+                           encoder_dim=2048)
+        # sample: /root/reference/models/decoders/attention_scn.py:160-296
+        sample = lambda b, wm, e, t: list(map(int, ref.sample(b, wm, e, t)[0]))
+    elif model == "pure_scn":
+        from models.decoders.pure_scn import PureSCN
+        ref = PureSCN(embed_dim=512, decoder_dim=512, factored_dim=512,
+                      semantic_dim=1000, vocab_size=V, encoder_dim=2048)
+        # sample returns the bare seq (pure_scn.py:142-249)
+        sample = lambda b, wm, e, t: list(map(int, ref.sample(b, wm, e, t)))
+    elif model == "pure_attention":
+        from models.decoders.pure_attention import PureAttention
+        ref = PureAttention(attention_dim=512, embed_dim=512,
+                            decoder_dim=512, vocab_size=V,
+                            encoder_dim=2048)
+        # sample takes no tags, returns (seq, alphas) (pure_attention.py:153-281)
+        sample = lambda b, wm, e, t: list(map(int, ref.sample(b, wm, e)[0]))
+    else:
+        raise ValueError(model)
+    return ref, sample
+
+
 # ---------------------------------------------------------------------------
 # phase A: train OURS at flagship dims on-chip, export to torch
 # ---------------------------------------------------------------------------
@@ -113,7 +145,7 @@ FLAG = dict(vocab=6763, sem_dim=1000, enc_dim=2048, enc_size=14,
             max_len=14)
 
 
-def phase_a_train(out_path):
+def phase_a_train(out_path, model="attention_scn"):
     from indonesian_image_captioning_tpu.core import runtime
     runtime.setup()
     import jax
@@ -130,7 +162,7 @@ def phase_a_train(out_path):
     enc, tags, caps, lens = make_corpus(
         rng, n, vocab=V, sem_dim=FLAG["sem_dim"], enc_dim=FLAG["enc_dim"],
         enc_size=FLAG["enc_size"], max_len=FLAG["max_len"])
-    cfg = ModelConfig(model_type="attention_scn", vocab_size=V,
+    cfg = ModelConfig(model_type=model, vocab_size=V,
                       max_caption_len=FLAG["max_len"])
     params = decoders.init_decoder(root_key(3), cfg)
     opt = steps.make_optimizer(2e-3, 5.0)   # raised lr, toy-corpus regime
@@ -167,7 +199,7 @@ def phase_a_train(out_path):
           f"saved {out_path}")
 
 
-def phase_a_compare(out_path):
+def phase_a_compare(out_path, model="attention_scn"):
     # CPU process: exact f32 on both sides
     import jax
     jax.config.update("jax_platforms", "cpu")
@@ -188,13 +220,10 @@ def phase_a_compare(out_path):
     with open(out_path + ".params.pkl", "rb") as f:
         params = pickle.load(f)
     V = FLAG["vocab"]
-    cfg = ModelConfig(model_type="attention_scn", vocab_size=V,
+    cfg = ModelConfig(model_type=model, vocab_size=V,
                       max_caption_len=FLAG["max_len"])
 
-    AttentionSCN = reference_side()
-    ref = AttentionSCN(attention_dim=512, embed_dim=512, decoder_dim=512,
-                       factored_dim=512, semantic_dim=1000, vocab_size=V,
-                       encoder_dim=2048)
+    ref, ref_sample = reference_decoder(model, V)
     sd = convert.decoder_to_torch(params, cfg)
     ref.load_state_dict({k: torch.tensor(v) for k, v in sd.items()})
     ref.eval()
@@ -209,10 +238,8 @@ def phase_a_compare(out_path):
         enc_i = enc[i:i + 1].reshape(1, FLAG["enc_size"], FLAG["enc_size"],
                                      FLAG["enc_dim"])
         with torch.no_grad():
-            ref_out = ref.sample(5, wm,
-                                 torch.tensor(enc_i),
+            ref_seq = ref_sample(5, wm, torch.tensor(enc_i),
                                  torch.tensor(tags[i:i + 1]))
-        ref_seq = list(map(int, ref_out[0]))
         out = caption_beam_search(params_j, cfg, jnp.asarray(enc_i),
                                   jnp.asarray(tags[i:i + 1]),
                                   start_id=V - 2, end_id=V - 1,
@@ -333,19 +360,22 @@ def main():
     ap.add_argument("--phase", default="all",
                     choices=("all", "a", "a_train", "a_compare", "b"))
     ap.add_argument("--out", default="/tmp/parity_flagship")
+    # VERDICT r4 #5: phase A (export at flagship dims) for all 3 families
+    ap.add_argument("--model", default="attention_scn",
+                    choices=("attention_scn", "pure_scn", "pure_attention"))
     args = ap.parse_args()
+    out = args.out + "_" + args.model
     ok = True
     if args.phase in ("all", "a", "a_train"):
-        phase_a_train(args.out)
+        phase_a_train(out, args.model)
     if args.phase in ("all", "a", "a_compare"):
         # fresh CPU process: the training phase initialised the TPU
         # backend, and JAX cannot switch platforms mid-process
         import subprocess
         r = subprocess.run([sys.executable, __file__, "--phase",
-                            "a_compare_inproc", "--out", args.out])
+                            "a_compare_inproc", "--out", out,
+                            "--model", args.model])
         ok &= (r.returncode == 0)
-    if args.phase == "a_compare_inproc":
-        sys.exit(0 if phase_a_compare(args.out) else 1)
     if args.phase in ("all", "b"):
         ok &= phase_b()
     sys.exit(0 if ok else 1)
@@ -358,5 +388,8 @@ if __name__ == "__main__":
         idx = sys.argv.index("--out")
         out = sys.argv[idx + 1] if idx + 1 < len(sys.argv) \
             else "/tmp/parity_flagship"
-        sys.exit(0 if phase_a_compare(out) else 1)
+        model = "attention_scn"
+        if "--model" in sys.argv:
+            model = sys.argv[sys.argv.index("--model") + 1]
+        sys.exit(0 if phase_a_compare(out, model) else 1)
     main()
