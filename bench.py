@@ -310,6 +310,105 @@ def train_main(batch: int = 1024, decoder_dtype: str = "bfloat16"):
     }))
 
 
+def load_main(rates=None, duration_s: float = 12.0):
+    """Sustained OPEN-LOOP serving-under-load bench (VERDICT r4 #7): the
+    micro-batching CaptionEngine (serve/engine.py) under Poisson arrivals
+    at several offered rates.  Open-loop = arrivals do not wait for
+    completions, so queueing delay shows up honestly in the latency tail.
+    One JSON line per rate: achieved throughput, p50/p90/p99 latency, and
+    the engine's batch-bucket histogram.  Reference counterpart: one
+    blocking image per process (/root/reference/inference.py:52-165)."""
+    import threading
+
+    from indonesian_image_captioning_tpu.core import runtime
+    runtime.setup()
+    import jax
+    import numpy as np
+    from indonesian_image_captioning_tpu.core.config import ModelConfig
+    from indonesian_image_captioning_tpu.core.prng import root_key
+    from indonesian_image_captioning_tpu.serve.engine import (CaptionEngine,
+                                                              ServeConfig)
+    from indonesian_image_captioning_tpu.train import caption as caption_train
+    from indonesian_image_captioning_tpu.train import steps
+
+    V = 6763
+    cfg = ModelConfig(model_type="attention_scn", vocab_size=V,
+                      dtype="bfloat16")
+    opt = steps.make_optimizer(4e-4, 5.0)
+    state = caption_train.init_state(root_key(0), cfg, opt)
+    bf = jax.numpy.bfloat16
+    state = jax.tree.map(
+        lambda x: x.astype(bf)
+        if jax.numpy.issubdtype(x.dtype, jax.numpy.floating) else x, state)
+    wm = {f"w{i}": i for i in range(V - 3)}
+    wm.update({"<unk>": V - 3, "<start>": V - 2, "<end>": V - 1,
+               "<pad>": 0})
+    engine = CaptionEngine(state, cfg, wm,
+                           ServeConfig(batch_buckets=(1, 8, 32, 128),
+                                       max_wait_ms=3.0, max_inflight=2))
+    engine.warmup()
+
+    pool = [np.random.default_rng(i).integers(0, 256, (3, 256, 256),
+                                              np.uint8) for i in range(32)]
+    if rates is None:
+        rates = (50, 200, 600, 1200)
+    for rate in rates:
+        engine.stats.batches.clear()
+        engine.start()
+        results = []          # (t_submit, future)
+        stop_flag = []
+
+        lats = []
+        lat_lock = threading.Lock()
+
+        def submit_one(img):
+            t_sub = time.monotonic()
+            fut = engine.submit(img)
+
+            def cb(_fut):
+                # completion timestamp, not poll time: the callback runs
+                # on the engine's resolution thread the moment the
+                # request's batch lands
+                with lat_lock:
+                    lats.append((time.monotonic() - t_sub) * 1e3)
+
+            fut.add_done_callback(cb)
+            results.append((t_sub, fut))
+
+        def submitter():
+            rng = np.random.default_rng(7)
+            t_end = time.monotonic() + duration_s
+            i = 0
+            while time.monotonic() < t_end and not stop_flag:
+                submit_one(pool[i % len(pool)])
+                i += 1
+                time.sleep(rng.exponential(1.0 / rate))
+
+        th = threading.Thread(target=submitter)
+        t0 = time.monotonic()
+        th.start()
+        th.join(timeout=duration_s + 30)
+        for _, fut in results:
+            fut.result(timeout=120)
+        t_total = time.monotonic() - t0
+        engine.stop()
+        lats.sort()
+        n = len(lats)
+        hist = {}
+        for b in engine.stats.batches:
+            hist[b] = hist.get(b, 0) + 1
+        print(json.dumps({
+            "metric": "serve_load_open_loop",
+            "offered_rate_rps": rate,
+            "value": round(n / t_total, 1), "unit": "req/s achieved",
+            "n_requests": n,
+            "p50_ms": round(lats[n // 2], 1),
+            "p90_ms": round(lats[int(n * 0.9)], 1),
+            "p99_ms": round(lats[min(int(n * 0.99), n - 1)], 1),
+            "batch_hist": {str(k): v for k, v in sorted(hist.items())},
+        }), flush=True)
+
+
 def main(batch: int = 1024, model: str = "attention_scn"):
     from indonesian_image_captioning_tpu.core import runtime
     runtime.setup()
@@ -365,7 +464,7 @@ def main(batch: int = 1024, model: str = "attention_scn"):
 if __name__ == "__main__":
     ap = argparse.ArgumentParser()
     ap.add_argument("--mode", choices=("all", "decode", "train", "e2e",
-                                       "latency"),
+                                       "latency", "load"),
                     default="all",
                     help="all = decode headline line FIRST (schema "
                          "unchanged), then train + e2e lines (driver "
@@ -387,7 +486,9 @@ if __name__ == "__main__":
                     choices=("attention_scn", "pure_attention", "pure_scn"),
                     help="decoder family for decode mode")
     args = ap.parse_args()
-    if args.mode == "e2e":
+    if args.mode == "load":
+        load_main()
+    elif args.mode == "e2e":
         e2e_main(args.batch or 256)
     elif args.mode == "latency":
         latency_main(args.batch or 1)

@@ -196,6 +196,20 @@ class ModelConfig:
     train_scan_impl: str = "auto"
     # Steps per time-span block of the fused training scan.
     train_span: int = 4
+    # Embedding-table GRADIENT implementation for teacher-forced training:
+    #   "onehot" — one_hot(ids)^T @ g MXU contraction (vocab-tiled above
+    #              2^30 one-hot elements) — the production default.
+    #   "pallas" — VMEM-accumulator one-hot-tile kernel
+    #              (ops/embed_grad_pallas.py).  Honest negative: in-step
+    #              A/B at b1024 flagship bf16 measured onehot 141.5 vs
+    #              pallas 142.7 ms — XLA fuses the one-hot contraction
+    #              in step context, so the kernel buys nothing (its 33 ms
+    #              standalone "cost" was a fusion-context artifact; the
+    #              kernel itself runs 43 ms standalone).  Kept opt-in as
+    #              the base for a future fused scan-bwd + embed-grad
+    #              pass; single-device programs only.
+    #   "auto"   — "onehot".
+    embed_grad_impl: str = "auto"
 
     @property
     def num_pixels(self) -> int:

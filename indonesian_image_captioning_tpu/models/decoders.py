@@ -68,17 +68,20 @@ def _embed_lookup_bwd(res, g):
     V = proto.shape[0]
     N = gf.shape[0]
     ids_flat = ids.reshape(-1)
-    if N * V <= (1 << 27):
+    if N * V <= (1 << 30):
         oh = jax.nn.one_hot(ids_flat, V, dtype=gf.dtype)
         dtable = jax.lax.dot_general(
             oh, gf, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
         return dtable.astype(proto.dtype), None
-    # Large-vocab: the full (N, V) one-hot is multi-GB (4 GB bf16 at COCO
-    # V=38,732, b1024) — build it in vocab tiles instead, mirroring the
+    # Very-large one-hot (>2^30 elements — COCO V=38,732 at b1024 would be
+    # a 4 GB bf16 tensor): build it in vocab tiles instead, mirroring the
     # chunked CE head (ops/vocab_head.py).  Each table tile is produced by
     # exactly one MXU contraction, so there is no f32 accumulator and the
     # result is bitwise the single-shot contraction per row block.
+    # Threshold is deliberately high: below it the single-shot contraction
+    # wins in-step (measured: forcing the tiled loop at COCO b512 under
+    # the dense head's memory pressure cost 2.6 s/step vs 111 ms).
     tile = 2048
     nt = -(-V // tile)
     D = gf.shape[-1]
@@ -98,6 +101,58 @@ def _embed_lookup_bwd(res, g):
 
 
 embed_lookup.defvjp(_embed_lookup_fwd, _embed_lookup_bwd)
+
+
+@functools.lru_cache(maxsize=2)
+def _scatter_lookup(interpret: bool):
+    """embed_lookup variant whose BACKWARD is the Pallas VMEM
+    scatter-accumulate kernel (ops/embed_grad_pallas.py): one pass over
+    the cotangent rows, no (N, V) one-hot.  The one-hot contraction
+    above measured 33.0 ms standalone at flagship b1024 — 5.6% of its
+    roofline, the largest outside-kernel train-step component after the
+    chunked CE head (tools/exp_head_floor.py)."""
+    @jax.custom_vjp
+    def f(table, ids):
+        return table[ids]
+
+    def fwd(table, ids):
+        return table[ids], (ids, jnp.zeros((table.shape[0], 0),
+                                           table.dtype))
+
+    def bwd(res, g):
+        from ..ops.embed_grad_pallas import embed_grad_scatter
+        ids, proto = res
+        gf = g.reshape(-1, g.shape[-1])
+        d = embed_grad_scatter(ids.reshape(-1).astype(jnp.int32), gf,
+                               vocab=proto.shape[0], interpret=interpret)
+        return d.astype(proto.dtype), None
+
+    f.defvjp(fwd, bwd)
+    return f
+
+
+def embed_lookup_kernel(table, ids, interpret: bool = False):
+    return _scatter_lookup(bool(interpret))(table, ids)
+
+
+def resolve_embed_grad_impl(cfg: ModelConfig, batch: int,
+                            spmd_mesh=None) -> str:
+    """cfg.embed_grad_impl "auto" -> "onehot".
+
+    Measured verdict (2026-08-21, b1024 flagship bf16 in-step A/B):
+    onehot 141.5 ms/step vs pallas 142.7 — the one-hot contraction
+    FUSES in step context (the 33 ms standalone attribution was a
+    fusion-context artifact), so the VMEM-accumulator kernel buys
+    nothing and stays opt-in ("pallas").  Mesh programs must keep
+    one-hot regardless: the kernel has no GSPMD partitioning rules (the
+    TP builder additionally pins "onehot" since its embedding table is
+    vocab-sharded)."""
+    impl = getattr(cfg, "embed_grad_impl", "auto")
+    if impl != "auto":
+        if impl == "pallas" and spmd_mesh is not None:
+            return "onehot"
+        return impl
+    return "onehot"
 
 
 def cell_input_dim(cfg: ModelConfig) -> int:
@@ -215,7 +270,12 @@ def teacher_forcing(params, cfg: ModelConfig, enc, tags, caps,
     is_scn = cfg.model_type in SCN_BASED_MODELS
     T = cfg.max_caption_len - 1
     enc_flat = flatten_encoding(enc, cfg.encoder_dim)
-    emb = embed_lookup(params["embedding"], caps[:, :T])  # (B, T, Emb)
+    if resolve_embed_grad_impl(cfg, enc_flat.shape[0],
+                               spmd_mesh) == "pallas":
+        emb = embed_lookup_kernel(params["embedding"], caps[:, :T],
+                                  interpret=jax.default_backend() == "cpu")
+    else:
+        emb = embed_lookup(params["embedding"], caps[:, :T])  # (B, T, Emb)
     ts = jnp.arange(T)
 
     impl = resolve_train_scan_impl(cfg, enc_flat.shape[0], enc_flat.dtype,

@@ -44,7 +44,11 @@ def make_parallel_caption_train_step(cfg: ModelConfig, tcfg: TrainConfig,
         # partitioner handles.  The chunked CE head runs vocab-parallel
         # through its own shard_map island (steps.make_chunked_head_island)
         # when the step resolves head_impl="chunked".
-        cfg = dataclasses.replace(cfg, train_scan_impl="xla")
+        # vocab-sharded embedding table: keep the GSPMD-partitionable
+        # one-hot contraction for its gradient (the scatter kernel has
+        # no partitioning rules)
+        cfg = dataclasses.replace(cfg, train_scan_impl="xla",
+                                  embed_grad_impl="onehot")
         spmd_mesh = None
         tp_mesh = mesh
     else:

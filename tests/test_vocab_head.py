@@ -208,7 +208,7 @@ def test_tiled_embed_lookup_bwd():
 
     rng = np.random.default_rng(5)
     V, E = 40_000, 8
-    N = 3_400                            # N*V > 2^27 -> tiled path
+    N = 27_000                           # N*V > 2^30 -> tiled path
     table = jnp.asarray(rng.standard_normal((V, E)), jnp.float32)
     ids = jnp.asarray(rng.integers(0, V, (N,)), jnp.int32)
     g = rng.standard_normal((N, E)).astype(np.float32)
