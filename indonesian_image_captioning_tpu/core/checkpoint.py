@@ -149,6 +149,13 @@ def save_pytree(path: str, tree) -> None:
     and after the write (no process may read a half-written checkpoint).
     """
     def fetch(x):
+        # NOTE (scale): this materialises the FULL global value of every
+        # TP-sharded leaf on every host before the save — host-RAM and
+        # interconnect cost grows with vocab*width*processes.  Fine at
+        # this model family's scale (the largest sharded leaf is the
+        # COCO fc/embedding, ~80 MB); if sharded state ever grows past
+        # host RAM, switch to orbax's global-jax.Array serialisation
+        # (ocp writes shards directly, no per-leaf allgather).
         if (isinstance(x, jax.Array) and not x.is_fully_addressable
                 and not x.sharding.is_fully_replicated):
             from jax.experimental import multihost_utils

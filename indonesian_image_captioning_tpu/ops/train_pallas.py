@@ -289,6 +289,15 @@ def _make_fwd_kernel(*, names, G, S, Pp, P, E, A, D, F, H, F4, dt,
             # recurrence) in ONE packed matmul: the step loop is
             # op-issue-latency-bound (exp_train_floor), so one wide dot
             # beats three narrow ones; slices at lane-aligned offsets ----
+            # NOTE (accepted fwd/bwd rounding divergence, ADVICE r4): this
+            # packed f32 formulation (one matmul + f32 bias adds, pre-
+            # activations staying f32 into sig/tanh) rounds differently
+            # from the backward's pass-A recompute, which re-derives
+            # dec/gate/pre via separate dt-rounded matmuls with its own
+            # bias association — gradients are therefore taken against
+            # activations ~1 bf16 ulp from the forward's.  Pinned by
+            # tests/test_train_fused.py::test_gradient_parity_bf16
+            # (both cells, fused-vs-XLA grads within bf16 tolerance).
             if "nohproj" in ablate:
                 hall = jnp.broadcast_to(r["bhcat"][:], (G, A + E + F4))
             else:

@@ -284,7 +284,9 @@ def make_caption_train_step(cfg: ModelConfig, tcfg: TrainConfig,
                 return loss, {**aux, "top5": aux["topk"]}
             loss, aux = losses.caption_loss(out, captions, tcfg.alpha_c)
             top5 = losses.masked_topk_accuracy(
-                out["predictions"], captions[:, 1:], out["mask"], 5)
+                out["predictions"],
+                captions[:, 1:1 + out["predictions"].shape[1]],
+                out["mask"], 5)
             return loss, {**aux, "top5": top5}
 
         (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
@@ -326,7 +328,9 @@ def make_caption_eval_step(cfg: ModelConfig, tcfg: TrainConfig):
             params, cfg, enc_out, tags, captions, caplens, train=False)
         loss, aux = losses.caption_loss(out, captions, tcfg.alpha_c)
         top5 = losses.masked_topk_accuracy(
-            out["predictions"], captions[:, 1:], out["mask"], 5)
+            out["predictions"],
+                captions[:, 1:1 + out["predictions"].shape[1]],
+                out["mask"], 5)
         preds = jnp.argmax(out["predictions"], axis=-1)      # (B, T)
         return {"loss": loss, "top5": top5, "n_tokens": aux["n_tokens"],
                 "preds": preds, "mask": out["mask"]}
@@ -382,7 +386,9 @@ def make_caption_finetune_train_step(
                 dropout_rng=rng, train=True, enc_grad=True)
             loss, aux = losses.caption_loss(out, captions, tcfg.alpha_c)
             top5 = losses.masked_topk_accuracy(
-                out["predictions"], captions[:, 1:], out["mask"], 5)
+                out["predictions"],
+                captions[:, 1:1 + out["predictions"].shape[1]],
+                out["mask"], 5)
             return loss, ({**aux, "top5": top5}, new_enc_stats)
 
         (loss, (aux, new_enc_stats)), (dgrads, egrads) = jax.value_and_grad(

@@ -184,3 +184,52 @@ def test_bfloat16_runs_and_is_close(setup):
     scale = float(jnp.abs(ref["predictions"]).max())
     assert float(jnp.abs(out["predictions"].astype(jnp.float32)
                          - ref["predictions"]).max()) < 0.1 * scale
+
+
+def test_gradient_parity_bf16(setup):
+    """bf16 gradient parity, both cells (ADVICE r4 #1): the fused
+    backward's pass-A recompute re-derives the packed h-projection's
+    preactivations with a different rounding/association than the
+    forward (train_pallas._make_fwd_kernel NOTE) — this pins the
+    ACCEPTED divergence: fused-vs-XLA bf16 gradients stay within bf16
+    reassociation tolerance for every weight."""
+    cfg, params, enc, tags, caps, caplens = setup
+    p16 = decoders.cast_params(params, jnp.bfloat16)
+    enc16 = enc.astype(jnp.bfloat16)
+    tags16 = tags.astype(jnp.bfloat16)
+
+    def loss16(impl):
+        cfg16 = dataclasses.replace(cfg, train_scan_impl=impl)
+
+        def fn(p):
+            out = decoders.teacher_forcing(
+                p, cfg16, enc16, tags16, caps, caplens,
+                dropout_rng=jax.random.key(9), train=True)
+            out = {**out,
+                   "predictions": out["predictions"].astype(jnp.float32),
+                   "alphas": out["alphas"].astype(jnp.float32)}
+            loss, _ = losses.caption_loss(out, caps, alpha_c=1.0)
+            return loss
+
+        return fn
+
+    l_ref, g_ref = jax.value_and_grad(loss16("xla"))(p16)
+    l_fus, g_fus = jax.value_and_grad(loss16("fused"))(p16)
+    assert abs(float(l_ref - l_fus)) < 3e-2 * max(1.0, abs(float(l_ref)))
+    flat_r = jax.tree_util.tree_leaves_with_path(g_ref)
+    flat_f = jax.tree.leaves(g_fus)
+    for (path, gr), gf in zip(flat_r, flat_f):
+        name = jax.tree_util.keystr(path)
+        if "full_att" in name and "'b'" in name:
+            # mathematically zero (softmax shift invariance); at bf16
+            # both paths produce rounding dust of incomparable scale
+            continue
+        scale = float(jnp.abs(gr.astype(jnp.float32)).max())
+        if scale < 1e-6:
+            continue
+        rel = float(jnp.abs(gr.astype(jnp.float32)
+                            - gf.astype(jnp.float32)).max()) / scale
+        # 0.15: the ACCEPTED bf16 divergence bound — the tight (5e-3)
+        # guarantees live in the f32 tests above; this pins that the
+        # fwd/bwd rounding mismatch stays at reassociation scale
+        assert rel < 0.15, f"{name}: rel={rel}"

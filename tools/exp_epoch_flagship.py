@@ -44,7 +44,11 @@ def main():
     data_cfg = make_synthetic_corpus(
         os.path.join(td, "root"), os.path.join(td, "scn"),
         n_images=args.images, n_train=n_train, image_size=256,
-        captions_per_image=5, caption_words=8, max_len=52,
+        # max_len=50: artifact rows are max_len + 2 ids (<start>/<end>,
+        # data/preprocess.py) = 52 = ModelConfig.max_caption_len's
+        # flagship default — 52 here made 54-wide rows that broke the
+        # step's (B, T) shapes
+        captions_per_image=5, caption_words=8, max_len=50,
         tag_vocab=tuple(f"tag{i}" for i in range(1000)))
     print(f"  corpus ready in {time.time() - t0:.0f}s "
           f"(TRAIN {n_train} images = {n_train * 5} caption rows)")
