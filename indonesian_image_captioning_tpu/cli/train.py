@@ -80,6 +80,14 @@ def build_parser() -> argparse.ArgumentParser:
                         "(TrainConfig.device_images; bit-identical rows; "
                         "'auto' falls back to the host loader when the "
                         "split exceeds TrainConfig.device_images_budget_gb)")
+    p.add_argument("--head_impl", default=None,
+                   choices=("auto", "dense", "chunked"),
+                   help="vocab CE head: 'chunked' streams fc in vocab "
+                        "tiles (no (B,T,V) logits — required for COCO "
+                        "vocab at b1024); 'auto' (default) picks it on "
+                        "TPU when the logit tensor is >= 2^27 elements")
+    p.add_argument("--head_tile", type=int, default=None,
+                   help="vocab-tile width for the chunked head (2048)")
     p.add_argument("--mesh", default=None, metavar="D,M",
                    help="device mesh as data,model axis sizes, e.g. 8,1 for "
                         "pure DP or 4,2 for DP+vocab-sharded TP; default "
@@ -159,6 +167,10 @@ def _override(tcfg: TrainConfig, args) -> TrainConfig:
         kw["cache_dtype"] = args.cache_dtype
     if getattr(args, "device_images", None):
         kw["device_images"] = args.device_images
+    if getattr(args, "head_impl", None):
+        kw["head_impl"] = args.head_impl
+    if getattr(args, "head_tile", None):
+        kw["head_tile"] = args.head_tile
     if getattr(args, "mesh", None):
         parts = tuple(int(x) for x in args.mesh.split(","))
         if len(parts) == 1:
